@@ -1,0 +1,177 @@
+"""Turn-payload codec: char-box stream <-> pandas char frame.
+
+Wire format (one turn's ``text`` column, see FIXTURES.md §2):
+
+    PAGE<TAB>x0<TAB>y0<TAB>x1<TAB>y1
+    x0<TAB>y0<TAB>x1<TAB>y1<TAB>text
+    ...
+
+Coordinates use a top-left origin and are rounded to 2 decimals, like
+the reference char frame (src/pdf2gtfs/reader.py:98-125). ``text`` is a
+single glyph; ``(cid:N)`` escapes from broken PDF glyphs are repaired on
+decode (reference: reader.py:84-95).
+
+``encode_grid`` lays out a logical table grid (list of rows of cell
+texts) as deterministic char boxes so reference golden CSV fixtures can
+be round-tripped through the extraction kernel byte-exactly.
+"""
+
+from __future__ import annotations
+
+import io
+from dataclasses import dataclass
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+
+CHAR_W = 5.0
+CHAR_H = 8.0
+ROW_STEP = 10.0      # y-gap 2pt between rows -> same table (max_row_distance 3)
+TABLE_GAP = 24.0     # row-bbox distance 16pt -> table split (> 3)
+COL_GAP = 10.0       # > max_char_distance -> field split; no column overlap
+MARGIN = 40.0
+
+CHAR_COLUMNS = ["x0", "y0", "x1", "y1", "text"]
+
+
+@dataclass(frozen=True)
+class PageBox:
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+
+
+class MalformedPayload(ValueError):
+    """Raised on undecodable turn payloads; callers degrade gracefully."""
+
+
+def _fix_cid_text(text: str) -> str:
+    """Repair '(cid:N)' glyph codes. reference: reader.py:84-95."""
+    if len(text) == 1:
+        return text
+    try:
+        return chr(int(text[5:-1]))
+    except (ValueError, TypeError):
+        return text
+
+
+def decode_payload(payload: str) -> tuple[PageBox, pd.DataFrame]:
+    """Parse a turn payload into (page box, char frame).
+
+    Vectorized via pandas.read_csv over an in-memory buffer; the only
+    per-char Python is the rare cid repair.
+    """
+    nl = payload.find("\n")
+    header = payload[:nl] if nl >= 0 else payload
+    parts = header.split("\t")
+    if len(parts) != 5 or parts[0] != "PAGE":
+        # Malformed turn: at 10^12-turn scale a bad payload must not
+        # kill the executor task — yield an empty char frame instead.
+        raise MalformedPayload(header[:80])
+    try:
+        page = PageBox(float(parts[1]), float(parts[2]),
+                       float(parts[3]), float(parts[4]))
+    except ValueError as e:
+        raise MalformedPayload(str(e)) from e
+    body = payload[nl + 1:] if nl >= 0 else ""
+    if not body.strip("\n"):
+        return page, pd.DataFrame(columns=CHAR_COLUMNS)
+    df = pd.read_csv(
+        io.StringIO(body), sep="\t", names=CHAR_COLUMNS,
+        dtype={"x0": float, "y0": float, "x1": float, "y1": float,
+               "text": str},
+        quoting=3, skip_blank_lines=True, keep_default_na=False,
+        engine="c",
+    )
+    needs_fix = df["text"].str.len() > 1
+    if needs_fix.any():
+        df.loc[needs_fix, "text"] = df.loc[needs_fix, "text"].map(
+            _fix_cid_text)
+    return page, df
+
+
+def encode_chars(page: PageBox, chars: pd.DataFrame) -> str:
+    """Inverse of decode_payload."""
+    buf = io.StringIO()
+    buf.write(f"PAGE\t{page.x0}\t{page.y0}\t{page.x1}\t{page.y1}\n")
+    chars[CHAR_COLUMNS].to_csv(
+        buf, sep="\t", header=False, index=False, quoting=3)
+    return buf.getvalue()
+
+
+def _grid_column_slots(grid: Sequence[Sequence[str]],
+                       header_rows: Sequence[int]) -> list[tuple[float, float]]:
+    """Per-CSV-column x slots wide enough that columns never overlap."""
+    n_cols = max(len(r) for r in grid)
+    widths = []
+    for c in range(n_cols):
+        w = 1
+        for r, row in enumerate(grid):
+            if r in header_rows or c >= len(row):
+                continue
+            w = max(w, len(row[c]))
+        widths.append(w * CHAR_W)
+    slots = []
+    x = MARGIN
+    for w in widths:
+        slots.append((x, x + w))
+        x += w + COL_GAP
+    return slots
+
+
+def encode_grid(grid: Sequence[Sequence[str]],
+                header_rows: Sequence[int] = (),
+                y_start: float = MARGIN,
+                page: PageBox | None = None,
+                chars_out: list | None = None) -> str:
+    """Lay out a logical grid as char boxes and encode as a payload.
+
+    - Every non-empty cell (r, c) becomes chars at column slot c, row r.
+    - Cells of rows listed in ``header_rows`` are header fields: they sit
+      *between* column slots so the reference CSV writer's header
+      placement rule (pdftable/pdftable.py:197-205,222-228) puts them
+      back at CSV index c.
+    """
+    slots = _grid_column_slots(grid, header_rows)
+    rows_chars: list[tuple[float, float, float, float, str]] = []
+    for r, row in enumerate(grid):
+        y0 = y_start + r * ROW_STEP
+        y1 = y0 + CHAR_H
+        for c, text in enumerate(row):
+            if text == "":
+                continue
+            if r in header_rows:
+                x = (slots[0][0] - 2.0) if c == 0 else (slots[c - 1][0] + 2.0)
+            else:
+                x = slots[c][0]
+            for ch in text:
+                rows_chars.append((round(x, 2), y0, round(x + CHAR_W, 2),
+                                   y1, ch))
+                x += CHAR_W
+    df = pd.DataFrame(rows_chars, columns=CHAR_COLUMNS)
+    if chars_out is not None:
+        chars_out.append(df)
+    if page is None:
+        x1 = (df["x1"].max() + MARGIN) if len(df) else 2 * MARGIN
+        y1 = (df["y1"].max() + MARGIN) if len(df) else 2 * MARGIN
+        page = PageBox(0.0, 0.0, float(np.ceil(x1)), float(np.ceil(y1)))
+    return encode_chars(page, df)
+
+
+def encode_tables(tables: Sequence[Sequence[Sequence[str]]],
+                  header_rows_per_table: Sequence[Sequence[int]]) -> str:
+    """Encode several grids on one page, separated by table-splitting gaps."""
+    payload_frames: list[pd.DataFrame] = []
+    y = MARGIN
+    for grid, hdr in zip(tables, header_rows_per_table):
+        chars_out: list = []
+        encode_grid(grid, hdr, y_start=y, page=PageBox(0, 0, 1, 1),
+                    chars_out=chars_out)
+        payload_frames.append(chars_out[0])
+        y += len(grid) * ROW_STEP + TABLE_GAP
+    df = pd.concat(payload_frames, ignore_index=True)
+    page = PageBox(0.0, 0.0, float(np.ceil(df["x1"].max() + MARGIN)),
+                   float(np.ceil(df["y1"].max() + MARGIN)))
+    return encode_chars(page, df)

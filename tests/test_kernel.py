@@ -1,0 +1,256 @@
+"""Kernel unit + golden tests.
+
+Golden sources:
+- reference CSV fixtures: /root/reference/test/data/{vag_1,kvv_s1}
+- truth tables from reference test/test_utils.py, test_pdftable,
+  test/data/data.yaml
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pdf2gtfs_spark.kernel.extract import (
+    R_DATA, detect_connections, extract_turn, fix_split_stop_names,
+    get_stop_base_name, interval_str_to_int_list, repeat_intervals_to_list,
+)
+from pdf2gtfs_spark.kernel.payload import PageBox, decode_payload, encode_grid
+from pdf2gtfs_spark.kernel.timefmt import (
+    gtfs_to_seconds, match_times, seconds_to_gtfs,
+)
+from pdf2gtfs_spark.functions.normalize import (
+    normalize_series, replace_abbreviations,
+)
+from pdf2gtfs_spark.sources.transcripts import (
+    TABLE_SEP, fixture_turns, synth_turn_payload,
+)
+
+
+class TestTimeFormat:
+    def test_match_times_default_format(self):
+        s = pd.Series(["13.37", "0.17", "23.59", "24.00", "5.7", "x", "5",
+                       "5.61", "alle", "13:37", ""])
+        is_time, secs = match_times(s, "%H.%M")
+        assert list(is_time) == [True, True, True, False, True, False,
+                                 False, False, False, False, False]
+        assert secs[0] == 13 * 3600 + 37 * 60
+        assert secs[1] == 17 * 60
+        assert secs[4] == 5 * 3600 + 7 * 60
+
+    def test_gtfs_roundtrip_over_24h(self):
+        # GTFS service-day times exceed 24h (stop_times.py:24-130)
+        assert seconds_to_gtfs(25 * 3600 + 90) == "25:01:30"
+        assert gtfs_to_seconds("25:01:30") == 25 * 3600 + 90
+        assert gtfs_to_seconds("bogus") == 0
+
+
+class TestIntervals:
+    # reference: timetable/entries.py:86-120
+    def test_single(self):
+        assert interval_str_to_int_list("30") == [30]
+
+    def test_range(self):
+        assert interval_str_to_int_list("7-9") == [7, 8, 9]
+
+    def test_list(self):
+        assert interval_str_to_int_list("3,5,7") == [3, 5, 7]
+
+    def test_invalid(self):
+        assert interval_str_to_int_list("abc") == []
+
+    def test_multiple_distinct_intervals_skipped(self):
+        # reference: entries.py:76-84
+        assert repeat_intervals_to_list(["30", "20"]) is None
+        assert repeat_intervals_to_list(["30", "30"]) == [30]
+
+
+class TestStopNames:
+    def test_base_name(self):
+        # reference: utils.py:159-173
+        assert get_stop_base_name("Frankfurt, Hauptbahnhof") == "Frankfurt, "
+        assert get_stop_base_name("Frankfurt - Hbf") == "Frankfurt - "
+        assert get_stop_base_name("Frankfurt Hbf") == "Frankfurt "
+        assert get_stop_base_name("Frankfurt") == "Frankfurt"
+
+    def _run_fix(self, texts, bboxes):
+        cells = pd.DataFrame({
+            "text": texts,
+            "x0": [b[0] for b in bboxes],
+            "y0": [b[1] for b in bboxes],
+            "line_id": range(len(texts)),
+        })
+        row_types = {i: R_DATA for i in range(len(texts))}
+        return list(fix_split_stop_names(cells, row_types))
+
+    def test_fix_split_stop_names_delimiter(self):
+        # golden: reference test/data/data.yaml test_fix_split_stop_names
+        texts = ["Freiburg - Hauptbahnhof", "- Wiehre", "- Littenweiler",
+                 "Kirchzarten - Bahnhof"]
+        bboxes = [[100, 100, 110, 110], [100, 110, 110, 120],
+                  [100, 120, 110, 130], [100, 130, 110, 140]]
+        assert self._run_fix(texts, bboxes) == [
+            "Freiburg - Hauptbahnhof", "Freiburg - Wiehre",
+            "Freiburg - Littenweiler", "Kirchzarten - Bahnhof"]
+
+    def test_fix_split_stop_names_indented(self):
+        texts = ["Freiburg - Hauptbahnhof", "Wiehre", "Littenweiler",
+                 "Kirchzarten - Bahnhof"]
+        bboxes = [[100, 100, 110, 110], [105, 110, 120, 120],
+                  [105, 120, 120, 130], [100, 130, 110, 140]]
+        assert self._run_fix(texts, bboxes) == [
+            "Freiburg - Hauptbahnhof", "Freiburg - Wiehre",
+            "Freiburg - Littenweiler", "Kirchzarten - Bahnhof"]
+
+
+class TestNormalize:
+    # golden pairs: reference test/test_utils.py:25-100
+    def test_replace_abbreviations_no_dot(self):
+        abbrevs = {"str": "strasse"}
+        cases = {"hauptstr.": "hauptstr.", "hauptstr": "hauptstr",
+                 "haupt str.": "haupt strasse", "haupt str": "haupt strasse",
+                 "strasse": "strasse", "bf str": "bf strasse",
+                 "hauptstrberg": "hauptstrberg"}
+        for short, full in cases.items():
+            assert replace_abbreviations(short, abbrevs) == full
+
+    def test_replace_abbreviations_with_dot(self):
+        abbrevs = {"str.": "strasse"}
+        cases = {"hauptstr.": "hauptstrasse", "hauptstr": "hauptstr",
+                 "haupt str.": "haupt strasse", "haupt str": "haupt strasse",
+                 "strasse": "strasse", "bf str": "bf strasse",
+                 "hauptstrberg": "hauptstrberg"}
+        for short, full in cases.items():
+            assert replace_abbreviations(short, abbrevs) == full
+
+    def test_normalize_series_golden(self):
+        cfg = ExtractConfig(name_abbreviations={
+            "a.": "am", "rh.": "rhein", "ffm": "frankfurt", "st.": "sankt",
+            "hbf": "hauptbahnhof", "bf": "bahnhof", "str.": "strasse",
+            "ka": "karlsruhe"})
+        series = pd.Series(["string with  multiple spaces",
+                            "string with forbidden chars &/()=*'_:;",
+                            "string with parentheses (with more info)",
+                            "STRING with special chars straße"])
+        expected = ["multiple spaces string with",
+                    "chars forbidden string with",
+                    "parentheses string with",
+                    "chars special strasse string with"]
+        assert list(normalize_series(series, cfg)) == expected
+
+
+class TestConnections:
+    # reference: timetable/table.py:26-54
+    def test_adjacent_duplicate_is_not_connection(self):
+        names = ["A", "B", "B", "C"]
+        assert detect_connections(names, DEFAULT_CONFIG) == [False] * 4
+
+    def test_cycle_marks_interior(self):
+        names = ["A", "B", "C", "B", "D"]
+        # B cycle at 1..3 -> index 2 is a connection
+        assert detect_connections(names, DEFAULT_CONFIG) == [
+            False, False, True, False, False]
+
+    def test_round_trip_not_marked(self):
+        names = ["A", "B", "C", "A"]
+        assert detect_connections(names, DEFAULT_CONFIG) == [False] * 4
+
+
+class TestPayloadCodec:
+    def test_roundtrip(self):
+        grid = [["Samstag", "", ""],
+                ["Stop number one", "ab", "5.01"],
+                ["Stop number two", "", "5.03"],
+                ["Stop number three", "", "5.04"],
+                ["Stop number four", "an", "5.06"]]
+        payload = encode_grid(grid, header_rows=[0])
+        page, chars = decode_payload(payload)
+        assert isinstance(page, PageBox)
+        n_chars = sum(len(c) for r, row in enumerate(grid)
+                      for c in row if c)
+        assert len(chars) == n_chars
+        assert (chars["x1"] > chars["x0"]).all()
+
+    def test_cid_repair(self):
+        payload = "PAGE\t0\t0\t100\t100\n10\t10\t15\t18\t(cid:65)\n"
+        _, chars = decode_payload(payload)
+        assert chars["text"].iloc[0] == "A"
+
+
+class TestGoldenFixtures:
+    """The per-turn text-equality invariant (BASELINE.json north_rule):
+    reference fixture tables encoded as char payloads must extract to a
+    byte-identical CSV."""
+
+    @pytest.mark.parametrize("idx", [0, 1])
+    def test_fixture_csv_byte_equality(self, idx):
+        turns = fixture_turns()
+        assert len(turns) == 2
+        name, payload, expected = turns[idx]
+        res = extract_turn(payload)
+        assert len(res.tables) == 1, name
+        assert res.tables[0].csv_text == expected, name
+
+    def test_vag_structure(self):
+        _, payload, _ = fixture_turns()[0]
+        res = extract_turn(payload)
+        t = res.tables[0]
+        assert t.col_types[0] == "STOP"
+        assert t.col_types[1] == "STOP_ANNOTATION"
+        assert set(t.col_types[2:]) == {"DATA"}
+        # 23 stop rows (Bertoldsbrunnen an + ab both included), matching
+        # the reference count oracle (test_reader.py:99-101)
+        stops = t.stops
+        assert len(stops) == 23
+        assert stops["stop_annot"].iloc[0] == "ab"
+        assert stops["stop_name"].iloc[0] == "Laßbergstraße"
+        # 20 time columns -> 20 entries (test_reader.py:99-101 pattern)
+        assert t.entries["entry_id"].nunique() == 20
+        assert t.entries["days"].iloc[0] == ["0", "1", "2", "3", "4"]
+
+    def test_kvv_structure(self):
+        _, payload, _ = fixture_turns()[1]
+        res = extract_turn(payload)
+        t = res.tables[0]
+        assert t.col_types[0] == "STOP"
+        # route rows LINIE/ZUGNUMMER present
+        assert "ROUTE_INFO" in t.row_types
+        # split stop names repaired on the timetable surface only
+        names = t.stops["stop_name"].tolist()
+        assert not any(n.startswith("-") for n in names)
+        assert "KA Hauptbahnhof (Vorplatz) (Gleis 21)" in names
+        # route name from first ROUTE_INFO row
+        routes = t.entries["route_name"].unique().tolist()
+        assert "S1" in routes or "S11" in routes
+
+
+class TestSyntheticRoundTrip:
+    @pytest.mark.parametrize("conv", ["c0", "c1", "c2", "c3"])
+    def test_roundtrip(self, conv):
+        payload, expected = synth_turn_payload(conv, 0)
+        res = extract_turn(payload)
+        got = TABLE_SEP.join(t.csv_text for t in res.tables)
+        assert got == expected
+
+    def test_multi_table_turn(self):
+        payload, expected = synth_turn_payload("multi", 1, n_tables=3)
+        res = extract_turn(payload)
+        assert len(res.tables) == 3
+        got = TABLE_SEP.join(t.csv_text for t in res.tables)
+        assert got == expected
+
+
+class TestTableSplitting:
+    def test_short_tables_dropped(self):
+        # fewer than min_row_count rows -> dropped (pdftable.py:237-268)
+        grid = [["Stop number one x", "5.01"],
+                ["Stop number two x", "5.03"],
+                ["Stop number three", "5.04"]]
+        payload = encode_grid(grid)
+        res = extract_turn(payload)
+        assert res.tables == []
+
+    def test_empty_payload(self):
+        res = extract_turn("PAGE\t0\t0\t100\t100\n")
+        assert res.tables == []
+        assert res.n_chars == 0
