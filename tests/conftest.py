@@ -12,6 +12,8 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("pdf2gtfs_spark-tests")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
