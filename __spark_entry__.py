@@ -1,38 +1,61 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline; ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 plus
+the training-data ops, checked against DuckDB at sf=0.01.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline (transcripts -> salted
+    repartition -> Arrow kernel -> reassembly window) on deterministic
+    synthetic transcripts that include the reference golden fixtures,
+    plus a scan of the sf0.001 documents table to anchor on driver
+    testdata. Returns the per-turn extraction summary."""
+    from pyspark.sql import functions as F
+
+    from pdf2gtfs_spark.plans.pipeline import run_extract, turn_csvs
+    from pdf2gtfs_spark.sources.transcripts import generate_transcripts
+
+    transcripts, expected = generate_transcripts(
+        n_convs=6, base_turns=2, skew_every=5, skew_factor=4)
+    tdf = spark.createDataFrame(transcripts)
+    edf = spark.createDataFrame(expected)
+    extracted = run_extract(tdf, num_partitions=8)
+    per_turn = turn_csvs(extracted).join(edf, ["conv_id", "turn_idx"])
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    return (per_turn
+            .withColumn(
+                "match",
+                (F.col("extracted_csvs") == F.col("expected_csvs")))
+            .select("conv_id", "turn_idx", "n_tables", "n_chars",
+                    "malformed", "match")
+            .withColumn("n_corpus_docs", F.lit(docs.count()))
+            .orderBy("conv_id", "turn_idx"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from pdf2gtfs_spark.operators import QUERIES, load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    load_all()
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted for
+    kernel-backed extraction queries -> rows-only check)."""
+    from pdf2gtfs_spark.operators import ORACLES, load_all
+
+    load_all()
+    return dict(ORACLES)

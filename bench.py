@@ -1,0 +1,130 @@
+"""Benchmark harness (driver contract).
+
+Runs the extraction pipeline + headline operator queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {...}, "sf": ..., "extract_turns_per_sec": ...}
+
+The extraction workload is a deterministic synthetic transcripts table
+(fixed seed + golden fixtures; FIXTURES.md §1) — identical across runs
+and parallelism levels so local[8]-vs-local[32] scaling efficiency is
+measured on the same input (see tools/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "agg_pricing_summary", "join_broadcast_dims", "semi_join_heavy_orders",
+    "topk_orders_per_customer", "window_gap_sessions",
+    "window_time_rollover", "window_forward_fill", "range_join_ship_window",
+    "asof_last_click_before_purchase", "dedup_exact",
+    "dedup_ngram_jaccard", "minhash_lsh_pairs", "simhash_fingerprints",
+    "embedding_cosine_topk", "langid_stopword_vote", "quality_score",
+    "doc_fingerprint",
+]
+
+# fixed extraction workload: 96 unique turn payloads tiled over many
+# turns (generation is driver-side; extraction cost dominates)
+N_UNIQUE_TURNS = 96
+N_TURNS = 1536
+
+
+def build_transcripts_parquet(spark, path: str) -> int:
+    import pandas as pd
+
+    from pdf2gtfs_spark.sources.transcripts import (
+        fixture_turns, synth_turn_payload)
+
+    payloads = [synth_turn_payload(f"bench_{i:03d}", 0)[0]
+                for i in range(N_UNIQUE_TURNS)]
+    payloads += [p for _, p, _ in fixture_turns()]
+    rows = []
+    for t in range(N_TURNS):
+        conv = f"conv_{t % 97:05d}"   # ~97 convs, skewed turn counts
+        rows.append((conv, t // 97, payloads[t % len(payloads)]))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "text"])
+    spark.createDataFrame(pdf).repartition(8).write.mode(
+        "overwrite").parquet(path)
+    return len(rows)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("pdf2gtfs_spark-bench")
+             .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+             .config("spark.driver.host", "127.0.0.1")
+             .config("spark.driver.bindAddress", "127.0.0.1")
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pdf2gtfs_spark.operators import QUERIES, load_all
+    from pdf2gtfs_spark.plans.pipeline import run_extract, turn_csvs
+
+    load_all()
+
+    tmp = tempfile.mkdtemp(prefix="p2gs_bench_")
+    timings: dict[str, float] = {}
+    try:
+        tpath = f"{tmp}/transcripts"
+        n_turns = build_transcripts_parquet(spark, tpath)
+        transcripts = spark.read.parquet(tpath)
+
+        # warm the JVM/Arrow path once on a small slice
+        run_extract(transcripts.limit(32), num_partitions=cpus) \
+            .write.format("noop").mode("overwrite").save()
+
+        t0 = time.time()
+        extracted = run_extract(transcripts, num_partitions=cpus * 2)
+        turn_csvs(extracted).write.format("noop").mode("overwrite").save()
+        extract_s = time.time() - t0
+        timings["extract_pipeline"] = round(extract_s, 3)
+        turns_per_sec = n_turns / extract_s
+
+        for name in BENCH_QUERIES:
+            fn = QUERIES[name]
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "bench_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "extract_turns_per_sec": round(turns_per_sec, 2),
+            "extract_turns": n_turns,
+            "cpus": cpus,
+        }))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,8 @@ natural vectorization blueprint:
 - timetable normalize    reference: datastructures/timetable/table.py:56-127
 
 All O(n) scans over chars/fields are vectorized (prefix cummax / gap
-flags); the only Python loops iterate over *lines, tables or columns*
-(tens per turn), never over chars.
+flags / fancy indexing); the only Python loops iterate over *lines,
+tables or columns* (tens per turn), never over chars or cells.
 """
 
 from __future__ import annotations
@@ -61,12 +61,11 @@ C_OTHER = "OTHER"
 @dataclass
 class TableResult:
     """One extracted table of a turn."""
-    # grid cells: row_idx, col_idx, text, x0, y0, x1, y1
+    # grid cells: row_idx, col_idx, text, row/col types, bbox
     cells: pd.DataFrame
     row_types: list[str]
     col_types: list[str]
     csv_text: str
-    # normalized timetable rows (see entries_frame)
     entries: pd.DataFrame
     stops: pd.DataFrame
 
@@ -79,7 +78,7 @@ class TurnResult:
     malformed: bool = False
 
 
-def _contains_regex(idents: tuple[str, ...] | list[str]) -> Optional[str]:
+def _contains_regex(idents) -> Optional[str]:
     """Regex matching the reference's padded-substring ident check
     (pdftable/field.py:81-87): ' ident ' in ' text '."""
     if not idents:
@@ -177,7 +176,7 @@ def _anchor_cluster(sorted_vals: np.ndarray, threshold: float) -> np.ndarray:
     """Cluster ascending values: new cluster when val - anchor > threshold,
     where anchor is the first value of the current cluster
     (reference: reader.py:369-383). Input must be sorted ascending and
-    unique; output is a cluster id per value."""
+    unique; loops over clusters (lines), not members (chars)."""
     ids = np.zeros(len(sorted_vals), dtype=np.int64)
     if len(sorted_vals) == 0:
         return ids
@@ -225,14 +224,23 @@ def chars_to_fields(chars: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     prev_runmax = runmax_x1.groupby(df["line_id"]).shift(1)
     is_new_field = (df["x0"] - prev_runmax) > cfg.max_char_distance
     is_new_field |= prev_runmax.isna()
-    df["field_id"] = is_new_field.cumsum()
+    field_id = is_new_field.cumsum().to_numpy()
 
-    fields = df.groupby("field_id", sort=True).agg(
-        line_id=("line_id", "first"),
-        x0=("x0", "min"), y0=("y0", "min"),
-        x1=("x1", "max"), y1=("y1", "max"),
-        text=("text", lambda s: "".join(s)),
-    ).reset_index(drop=True)
+    # vectorized per-field reduction via reduceat on field boundaries
+    starts = np.flatnonzero(is_new_field.to_numpy())
+    texts = df["text"].to_numpy(dtype=object)
+    joined = np.array(
+        ["".join(texts[s:e]) for s, e in
+         zip(starts, np.append(starts[1:], len(texts)))], dtype=object)
+    fields = pd.DataFrame({
+        "line_id": df["line_id"].to_numpy()[starts],
+        "x0": np.minimum.reduceat(df["x0"].to_numpy(), starts),
+        "y0": np.minimum.reduceat(df["y0"].to_numpy(), starts),
+        "x1": np.maximum.reduceat(df["x1"].to_numpy(), starts),
+        "y1": np.maximum.reduceat(df["y1"].to_numpy(), starts),
+        "text": joined,
+    })
+    del field_id
     fields["text"] = fields["text"].str.strip()
     # reference drops fields whose text is empty (reader.py:213)
     fields = fields[fields["text"] != ""].reset_index(drop=True)
@@ -245,10 +253,9 @@ def chars_to_fields(chars: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
 def _row_frame(fields: pd.DataFrame) -> pd.DataFrame:
     """Per-line row bboxes, in y order (Row.from_fields + bbox union)."""
-    rows = fields.groupby("line_id", sort=True).agg(
+    return fields.groupby("line_id", sort=True).agg(
         x0=("x0", "min"), y0=("y0", "min"),
         x1=("x1", "max"), y1=("y1", "max")).reset_index()
-    return rows
 
 
 def split_rows_into_tables(rows: pd.DataFrame,
@@ -276,23 +283,25 @@ def split_rows_into_tables(rows: pd.DataFrame,
 
 
 # ---------------------------------------------------------------------------
-# per-table: row types, header/stop splits, columns
+# per-table analysis (computed once per table)
 # ---------------------------------------------------------------------------
 
 def _row_types(fields: pd.DataFrame, line_order: list[int]) -> list[str]:
-    """Row type ladder (pdftable/container.py:221-230)."""
-    by_line = fields.groupby("line_id")["ftype"]
-    has = by_line.agg(lambda s: set(s)).to_dict()
+    """Row type ladder (pdftable/container.py:221-230), vectorized via
+    per-type line_id membership sets."""
+    ft = fields["ftype"].to_numpy()
+    lid = fields["line_id"].to_numpy()
+    sets = {t: set(lid[ft == t]) for t in
+            (F_HEADER, F_ROW_ANNOT, F_ROUTE_INFO, F_DATA)}
     out = []
-    for lid in line_order:
-        types = has.get(lid, set())
-        if F_HEADER in types:
+    for line in line_order:
+        if line in sets[F_HEADER]:
             out.append(R_HEADER)
-        elif F_ROW_ANNOT in types:
+        elif line in sets[F_ROW_ANNOT]:
             out.append(R_ANNOTATION)
-        elif F_ROUTE_INFO in types:
+        elif line in sets[F_ROUTE_INFO]:
             out.append(R_ROUTE_INFO)
-        elif F_DATA in types:
+        elif line in sets[F_DATA]:
             out.append(R_DATA)
         else:
             out.append(R_OTHER)
@@ -306,18 +315,20 @@ def _split_multi_header_tables(
     The first table is always kept as-is (reference behavior)."""
     if not tables:
         return []
+    header_lines_all = set(
+        fields.loc[fields["ftype"] == F_HEADER, "line_id"])
     out: list[list[int]] = [list(tables[0])]
     for tbl in tables[1:]:
-        rtypes = _row_types(fields[fields["line_id"].isin(tbl)], list(tbl))
-        header_lines = [lid for lid, t in zip(tbl, rtypes) if t == R_HEADER]
+        header_lines = [lid for lid in tbl if lid in header_lines_all]
         if len(header_lines) > 1:
             # split such that each part starts at a header row
             # (pdftable/pdftable.py:165-183)
             groups: list[list[int]] = [[] for _ in header_lines]
             first_is_splitter = tbl[0] == header_lines[0]
             idx = -1 if first_is_splitter else 0
+            hset = set(header_lines)
             for lid in tbl:
-                if lid in header_lines:
+                if lid in hset:
                     idx = min(idx + 1, len(groups) - 1)
                 groups[idx].append(lid)
             out += [g for g in groups if g]
@@ -329,13 +340,13 @@ def _split_multi_header_tables(
     return out
 
 
-def _cluster_columns(fields: pd.DataFrame) -> pd.DataFrame:
+def _cluster_columns(fields: pd.DataFrame, m: _Matchers) -> pd.DataFrame:
     """Assign col_id by x-overlap clustering over x0-sorted fields
     (pdftable/pdftable.py:65-95): a field joins the current column iff
     its x0 is strictly less than the running max x1; same-(col,row)
     fields merge into one cell (container.py:336-353).
 
-    Returns a cell frame: col_id, line_id, x0, y0, x1, y1, text.
+    Returns a cell frame: col_id, line_id, bbox, text, ftype.
     """
     df = fields.sort_values(["x0", "y0"], kind="stable").reset_index(
         drop=True)
@@ -344,12 +355,14 @@ def _cluster_columns(fields: pd.DataFrame) -> pd.DataFrame:
     df["col_id"] = new_col.cumsum().astype(np.int64) - 1
 
     # merge fields sharing (col, row): texts joined with " " when there
-    # is an x-gap (container.py:339-348); bboxes unioned.
+    # is an x-gap (container.py:339-348); bboxes unioned. Rare — only
+    # the affected groups take the slow path, and only their ftypes are
+    # recomputed (merge changes the text).
     dup = df.duplicated(subset=["col_id", "line_id"], keep=False)
     if not dup.any():
-        cells = df[["col_id", "line_id", "x0", "y0", "x1", "y1", "text"]]
-        return cells.sort_values(["col_id", "y0"],
-                                 kind="stable").reset_index(drop=True)
+        return df[["col_id", "line_id", "x0", "y0", "x1", "y1", "text",
+                   "ftype"]].sort_values(
+            ["col_id", "y0"], kind="stable").reset_index(drop=True)
 
     def _merge_group(g: pd.DataFrame) -> pd.Series:
         g = g.sort_values("x0", kind="stable")
@@ -363,10 +376,12 @@ def _cluster_columns(fields: pd.DataFrame) -> pd.DataFrame:
             "x0": g["x0"].min(), "y0": g["y0"].min(),
             "x1": g["x1"].max(), "y1": g["y1"].max(), "text": text})
 
-    merged = (df.groupby(["col_id", "line_id"], sort=False)
+    merged = (df[dup].groupby(["col_id", "line_id"], sort=False)
               .apply(_merge_group, include_groups=False).reset_index())
-    return merged.sort_values(["col_id", "y0"],
-                              kind="stable").reset_index(drop=True)
+    merged["ftype"] = m.field_types(merged["text"])
+    out = pd.concat([df[~dup][merged.columns], merged], ignore_index=True)
+    return out.sort_values(["col_id", "y0"],
+                           kind="stable").reset_index(drop=True)
 
 
 def _column_types(cells: pd.DataFrame, col_order: list[int],
@@ -374,28 +389,64 @@ def _column_types(cells: pd.DataFrame, col_order: list[int],
     """Left-to-right lazy column typing (pdftable/container.py:273-302),
     including the retroactive previous-OTHER -> STOP upgrade."""
     types: dict[int, str] = {}
-    by_col = {cid: g for cid, g in cells.groupby("col_id", sort=True)}
+    gb = cells.groupby("col_id", sort=True)
+    mean_len = cells["text"].str.len().groupby(cells["col_id"]).mean()
+    n_fields = gb.size()
+    n_empty = (cells["text"] == "").groupby(cells["col_id"]).sum()
+    has_annot = (cells["ftype"] == F_STOP_ANNOT).groupby(
+        cells["col_id"]).any()
+    has_data = (cells["ftype"] == F_DATA).groupby(cells["col_id"]).any()
+    joined = gb["text"].agg("\n".join)
     for i, cid in enumerate(col_order):
-        g = by_col[cid]
-        mean_len = g["text"].str.len().mean()
-        empty = int((g["text"] == "").sum())
-        is_sparse = (len(g) / max(1, empty)) <= 0.5
-        if not is_sparse and mean_len > 8:
+        is_sparse = (n_fields[cid] / max(1, int(n_empty[cid]))) <= 0.5
+        if not is_sparse and mean_len[cid] > 8:
             types[cid] = C_STOP
             continue
-        if m.repeat_intervals("\n".join(g["text"])):
+        if m.repeat_intervals(joined[cid]):
             types[cid] = C_REPEAT
             continue
-        if (g["ftype"] == F_STOP_ANNOT).any():
+        if has_annot[cid]:
             if i > 0 and types.get(col_order[i - 1]) == C_OTHER:
                 types[col_order[i - 1]] = C_STOP
             types[cid] = C_STOP_ANNOTATION
             continue
-        if (g["ftype"] == F_DATA).any():
+        if has_data[cid]:
             types[cid] = C_DATA
             continue
         types[cid] = C_OTHER
     return types
+
+
+@dataclass
+class _TableAnalysis:
+    line_order: list[int]
+    rtypes: list[str]
+    row_type_of_line: dict[int, str]
+    line_to_row: dict[int, int]
+    tfields: pd.DataFrame
+    cells: pd.DataFrame
+    col_order: list[int]
+    col_types: dict[int, str]
+
+
+def _analyze_table(tfields: pd.DataFrame, line_order: list[int],
+                   m: _Matchers) -> Optional[_TableAnalysis]:
+    rtypes = _row_types(tfields, line_order)
+    row_type_of_line = dict(zip(line_order, rtypes))
+    body_lines = {lid for lid, t in zip(line_order, rtypes)
+                  if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)}
+    body = tfields[tfields["line_id"].isin(body_lines)]
+    if body.empty:
+        return None
+    cells = _cluster_columns(body, m)
+    col_order = sorted(cells["col_id"].unique().tolist())
+    col_types = _column_types(cells, col_order, m)
+    return _TableAnalysis(
+        line_order=list(line_order), rtypes=rtypes,
+        row_type_of_line=row_type_of_line,
+        line_to_row={lid: i for i, lid in enumerate(line_order)},
+        tfields=tfields, cells=cells, col_order=col_order,
+        col_types=col_types)
 
 
 # ---------------------------------------------------------------------------
@@ -428,7 +479,8 @@ def fix_split_stop_names(stop_cells: pd.DataFrame,
     """Repair split stop names in the stop column's cells (y order).
 
     reference: pdftable/pdftable.py:97-115 + field.py:107-125. Returns
-    the fixed text Series (aligned to stop_cells.index).
+    the fixed text Series (aligned to stop_cells.index). The loop runs
+    over the stop column's rows (tens), not data cells.
     """
     texts = stop_cells["text"].tolist()
     x0s = stop_cells["x0"].tolist()
@@ -460,36 +512,31 @@ def fix_split_stop_names(stop_cells: pd.DataFrame,
 # CSV serialization (the golden-fixture equality surface)
 # ---------------------------------------------------------------------------
 
-def _escape_field_text(text: str) -> str:
-    """reference: pdftable/pdftable.py:187-195."""
-    text = text.replace('"', "").strip()
-    if "," in text:
-        return f'"{text}"'
-    return text
-
-
-def table_to_csv(n_rows: int, col_order: list[int],
-                 col_x0: dict[int, float],
-                 cells: pd.DataFrame, line_to_row: dict[int, int],
-                 header_fields: pd.DataFrame) -> str:
+def table_to_csv(a: _TableAnalysis, placeable: pd.DataFrame) -> str:
     """Serialize a table grid exactly like the reference CSV writer
-    (pdftable/pdftable.py:185-234): cells per (row, col), header-row
-    fields placed at the first column whose x0 exceeds theirs, rows that
-    are entirely empty dropped, trailing newline kept."""
-    n_cols = len(col_order)
-    grid = [["" for _ in range(n_cols)] for _ in range(n_rows)]
-    col_pos = {cid: i for i, cid in enumerate(col_order)}
-    for _, r in cells.iterrows():
-        grid[line_to_row[r["line_id"]]][col_pos[r["col_id"]]] = (
-            _escape_field_text(r["text"]))
-    x0s = [col_x0[cid] for cid in col_order]
-    for _, f in header_fields.iterrows():
-        idx = n_cols - 1
-        for i, x in enumerate(x0s):
-            if x > f["x0"]:
-                idx = i
-                break
-        grid[line_to_row[f["line_id"]]][idx] = f["text"]
+    (pdftable/pdftable.py:185-234): cells per (row, col), header-typed
+    fields placed at the first column whose x0 exceeds theirs, rows
+    that are entirely empty dropped, trailing newline kept."""
+    n_rows, n_cols = len(a.line_order), len(a.col_order)
+    col_pos = {cid: i for i, cid in enumerate(a.col_order)}
+    grid = np.full((n_rows, n_cols), "", dtype=object)
+
+    t = a.cells["text"].str.replace('"', "", regex=False).str.strip()
+    t = t.where(~t.str.contains(",", regex=False), '"' + t + '"')
+    rows_i = a.cells["line_id"].map(a.line_to_row).to_numpy()
+    cols_i = a.cells["col_id"].map(col_pos).to_numpy()
+    grid[rows_i, cols_i] = t.to_numpy(dtype=object)
+
+    if len(placeable):
+        # first col whose x0 > field.x0; else last (pdftable.py:197-205)
+        col_x0s = a.cells.groupby("col_id")["x0"].min()
+        xs = np.array([col_x0s[c] for c in a.col_order])
+        idxs = np.minimum(
+            np.searchsorted(xs, placeable["x0"].to_numpy(), side="right"),
+            n_cols - 1)
+        hrows = placeable["line_id"].map(a.line_to_row).to_numpy()
+        for r, c, txt in zip(hrows, idxs, placeable["text"]):
+            grid[r, c] = txt
     lines = [",".join(row) for row in grid if any(row)]
     return "\n".join(lines) + "\n"
 
@@ -514,10 +561,8 @@ def interval_str_to_int_list(value_str: str) -> list[int]:
             vals = list(map(int, value_str.split(char)))
         except ValueError:
             continue
-        if char == "," and len(vals) > 1:
-            return vals
-        if char == "-" and len(vals) > 1:
-            if len(vals) == 2:
+        if len(vals) > 1:
+            if char == "-" and len(vals) == 2:
                 return list(range(vals[0], vals[1] + 1))
             return vals
     try:
@@ -559,193 +604,186 @@ def detect_connections(stop_names: list[str],
     return is_conn
 
 
+def _header_texts_for_columns(header_fields: pd.DataFrame,
+                              line_to_row: dict[int, int],
+                              col_x1s: np.ndarray) -> list[str]:
+    """Vectorized get_header_from_column (pdftable/pdftable.py:121-129).
+
+    Only the first header row matters (the reference's inner loop
+    always returns at the row's last field); within it, the answer is
+    the first field whose successor starts at/after the column's right
+    edge — a searchsorted over the successors' x0.
+    """
+    if header_fields.empty:
+        return [""] * len(col_x1s)
+    first_lid = min(header_fields["line_id"].unique(),
+                    key=lambda lid: line_to_row[lid])
+    row = header_fields[header_fields["line_id"] == first_lid] \
+        .sort_values("x0", kind="stable")
+    hx = row["x0"].to_numpy()
+    texts = row["text"].to_numpy(dtype=object)
+    # smallest i with hx[i+1] >= col_x1, else last field
+    idx = np.minimum(np.searchsorted(hx[1:], col_x1s, side="left"),
+                     len(texts) - 1)
+    return [str(texts[i]) for i in idx]
+
+
+def _normalize_timetable(table_id: int, a: _TableAnalysis,
+                         header_fields: pd.DataFrame,
+                         cfg: ExtractConfig, m: _Matchers,
+                         fixed_stop_text: dict[int, str]
+                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """PDFTable -> normalized timetable rows
+    (reference: timetable/table.py:56-127). Vectorized: loops run per
+    column (metadata), cell-level work is frame ops."""
+    cells = a.cells
+    rt = cells["line_id"].map(a.row_type_of_line)
+    row_idx = cells["line_id"].map(a.line_to_row)
+    ctype = cells["col_id"].map(a.col_types)
+
+    # stops: DATA-row cells of STOP columns, in column-then-y order
+    stop_mask = (ctype == C_STOP) & (rt == R_DATA)
+    sc = cells[stop_mask].sort_values(["col_id", "y0"], kind="stable")
+    first_stop_col = sc["col_id"].iloc[0] if len(sc) else None
+    names = sc["text"].str.strip()
+    if fixed_stop_text and first_stop_col is not None:
+        in_first = sc["col_id"] == first_stop_col
+        fixed = sc["line_id"].map(fixed_stop_text)
+        names = fixed.str.strip().where(in_first & fixed.notna(), names)
+    stops_df = pd.DataFrame({
+        "table_id": table_id,
+        "stop_pos": np.arange(len(sc)),
+        "row_idx": sc["line_id"].map(a.line_to_row).to_numpy(),
+        "stop_name": names.to_numpy(dtype=object),
+        "stop_annot": "",
+        "is_connection": False,
+    })
+
+    # stop annotations (STOP_ANNOTATION cols; route/annot rows skipped)
+    annot_mask = ((ctype == C_STOP_ANNOTATION)
+                  & ~rt.isin([R_ROUTE_INFO, R_ANNOTATION]))
+    if annot_mask.any():
+        ann = cells[annot_mask].sort_values(["col_id", "y0"], kind="stable")
+        ann_rows = ann["line_id"].map(a.line_to_row)
+        ann_map = dict(zip(ann_rows, ann["text"]))  # later cols overwrite
+        stops_df["stop_annot"] = stops_df["row_idx"].map(ann_map).fillna("")
+
+    stops_df["is_connection"] = detect_connections(
+        stops_df["stop_name"].tolist(), cfg)
+    stop_pos_of_row = dict(zip(stops_df["row_idx"], stops_df["stop_pos"]))
+
+    # entries: one per DATA/REPEAT column with at least one DATA value
+    entry_cols = [cid for cid in a.col_order
+                  if a.col_types[cid] in (C_DATA, C_REPEAT)]
+    if not entry_cols:
+        return (pd.DataFrame(columns=ENTRY_COLUMNS), stops_df)
+
+    col_x1s = cells.groupby("col_id")["x1"].max()
+    header_texts = _header_texts_for_columns(
+        header_fields, a.line_to_row,
+        np.array([col_x1s[c] for c in entry_cols]))
+
+    # per-column metadata (loops over columns, not cells)
+    ann_join = (cells[rt == R_ANNOTATION]
+                .groupby("col_id")["text"].agg(" ".join))
+    route_first = (cells[rt == R_ROUTE_INFO]
+                   .sort_values("y0", kind="stable")
+                   .groupby("col_id")["text"].first())
+    joined = cells.groupby("col_id")["text"].agg("\n".join)
+
+    values = cells[(rt == R_DATA) & ctype.isin([C_DATA, C_REPEAT])]
+    counts = values.groupby("col_id").size()
+
+    meta_rows = []
+    entry_id = -1
+    for cid, header_text in zip(entry_cols, header_texts):
+        if int(counts.get(cid, 0)) == 0:
+            continue
+        entry_id += 1
+        kind = ("repeat" if a.col_types[cid] == C_REPEAT else "time")
+        repeat = None
+        if kind == "repeat":
+            repeat = repeat_intervals_to_list(
+                m.repeat_intervals(joined[cid]))
+        annots = sorted({w for w in str(ann_join.get(cid, "")).split(" ")
+                         if w})
+        days = cfg.header_values.get(header_text.lower().strip(), "")
+        meta_rows.append({
+            "col_id": cid, "entry_id": entry_id, "kind": kind,
+            "header_text": header_text,
+            "route_name": str(route_first.get(cid, "")),
+            "annotations": annots,
+            "days": [d for d in days.split(",") if d] if days else [],
+            "repeat_intervals": repeat,
+        })
+    if not meta_rows:
+        return (pd.DataFrame(columns=ENTRY_COLUMNS), stops_df)
+    meta = pd.DataFrame(meta_rows)
+
+    vals = values.sort_values(["col_id", "y0"], kind="stable")[
+        ["col_id", "line_id", "text"]].copy()
+    vals["stop_row_idx"] = vals["line_id"].map(a.line_to_row)
+    vals["stop_pos"] = vals["stop_row_idx"].map(stop_pos_of_row)
+    vals = vals.merge(meta, on="col_id", how="inner")
+    vals = vals.merge(
+        stops_df[["stop_pos", "stop_name", "stop_annot"]],
+        on="stop_pos", how="left")
+    vals["table_id"] = table_id
+    vals["value"] = vals["text"]
+    vals["stop_pos"] = vals["stop_pos"].astype("object").where(
+        vals["stop_pos"].notna(), None)
+    entries = vals[ENTRY_COLUMNS].reset_index(drop=True)
+    return entries, stops_df
+
+
 # ---------------------------------------------------------------------------
 # the per-table pipeline
 # ---------------------------------------------------------------------------
 
-def _process_table(table_id: int, tfields: pd.DataFrame, line_order: list[int],
-                   cfg: ExtractConfig, m: _Matchers) -> Optional[TableResult]:
-    rtypes = _row_types(tfields, line_order)
-    row_type_of_line = dict(zip(line_order, rtypes))
-    line_to_row = {lid: i for i, lid in enumerate(line_order)}
-
-    body_lines = [lid for lid, t in zip(line_order, rtypes)
-                  if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)]
-    body = tfields[tfields["line_id"].isin(body_lines)]
-    if body.empty:
-        return None
-    cells = _cluster_columns(body)
-    # re-derive ftype for merged cells (merge may change the text)
-    cells["ftype"] = m.field_types(cells["text"])
-
-    col_order = sorted(cells["col_id"].unique().tolist())
-    col_types = _column_types(cells, col_order, m)
-
+def _process_table(table_id: int, a: _TableAnalysis,
+                   cfg: ExtractConfig, m: _Matchers
+                   ) -> Optional[TableResult]:
     # Split stop-name repair (pdftable.py:97-115). The golden CSV
     # fixtures carry the *raw* texts (e.g. kvv_s1/01_00.csv row 35
     # "- Hauptbahnhof ..."), so the repair is applied only to the
     # normalized timetable stop names, not to the CSV/grid surface.
     fixed_stop_text: dict[int, str] = {}
-    stop_cols = [c for c in col_order if col_types[c] == C_STOP]
+    stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
     if stop_cols:
-        sc = stop_cols[0]
-        sub = cells[cells["col_id"] == sc].sort_values("y0", kind="stable")
-        fixed = fix_split_stop_names(sub, row_type_of_line)
+        sub = a.cells[a.cells["col_id"] == stop_cols[0]].sort_values(
+            "y0", kind="stable")
+        fixed = fix_split_stop_names(sub, a.row_type_of_line)
         fixed_stop_text = dict(zip(sub["line_id"], fixed))
 
-    col_x0 = cells.groupby("col_id")["x0"].min().to_dict()
-    row_type_series = tfields["line_id"].map(row_type_of_line)
+    row_type_series = a.tfields["line_id"].map(a.row_type_of_line)
     # all fields of HEADER rows: used for per-column header text
     # (pdftable/pdftable.py:121-129)
-    header_fields = tfields[row_type_series == R_HEADER]
+    header_fields = a.tfields[row_type_series == R_HEADER]
     # HEADER-*typed* fields outside any column: placed into the CSV
     # (pdftable/pdftable.py:222-228)
-    placeable = tfields[(tfields["ftype"] == F_HEADER)
-                        & row_type_series.isin([R_HEADER, R_OTHER])]
-    csv_text = table_to_csv(len(line_order), col_order, col_x0, cells,
-                            line_to_row, placeable)
+    placeable = a.tfields[(a.tfields["ftype"] == F_HEADER)
+                          & row_type_series.isin([R_HEADER, R_OTHER])]
+    csv_text = table_to_csv(a, placeable)
 
     entries, stops = _normalize_timetable(
-        table_id, cells, col_order, col_types, row_type_of_line,
-        line_to_row, header_fields, cfg, m, fixed_stop_text)
+        table_id, a, header_fields, cfg, m, fixed_stop_text)
 
-    grid = cells.copy()
-    grid["row_idx"] = grid["line_id"].map(line_to_row)
-    grid["col_idx"] = grid["col_id"].map(
-        {cid: i for i, cid in enumerate(col_order)})
-    grid["row_type"] = grid["line_id"].map(row_type_of_line)
-    grid["col_type"] = grid["col_id"].map(col_types)
+    col_pos = {cid: i for i, cid in enumerate(a.col_order)}
+    grid = a.cells.copy()
+    grid["row_idx"] = grid["line_id"].map(a.line_to_row)
+    grid["col_idx"] = grid["col_id"].map(col_pos)
+    grid["row_type"] = grid["line_id"].map(a.row_type_of_line)
+    grid["col_type"] = grid["col_id"].map(a.col_types)
     grid = grid[["row_idx", "col_idx", "text", "row_type", "col_type",
                  "x0", "y0", "x1", "y1"]].reset_index(drop=True)
     return TableResult(
         cells=grid,
-        row_types=rtypes,
-        col_types=[col_types[c] for c in col_order],
+        row_types=a.rtypes,
+        col_types=[a.col_types[c] for c in a.col_order],
         csv_text=csv_text,
         entries=entries,
         stops=stops,
     )
-
-
-def _header_text_for_column(header_fields: pd.DataFrame,
-                            header_line_order: list[int],
-                            col_x1: float) -> str:
-    """reference: pdftable/pdftable.py:121-129 (get_header_from_column)."""
-    for lid in header_line_order:
-        row = header_fields[header_fields["line_id"] == lid].sort_values(
-            "x0", kind="stable")
-        fields = list(row.itertuples())
-        for i, f in enumerate(fields, 1):
-            nxt = fields[i] if i < len(fields) else None
-            if nxt is None or nxt.x0 >= col_x1:
-                return f.text
-    return ""
-
-
-def _normalize_timetable(table_id: int, cells: pd.DataFrame,
-                         col_order: list[int], col_types: dict[int, str],
-                         row_type_of_line: dict[int, str],
-                         line_to_row: dict[int, int],
-                         header_fields: pd.DataFrame,
-                         cfg: ExtractConfig, m: _Matchers,
-                         fixed_stop_text: dict[int, str] | None = None
-                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """PDFTable -> normalized timetable rows
-    (reference: timetable/table.py:56-127)."""
-    header_line_order = sorted(
-        header_fields["line_id"].unique().tolist(),
-        key=lambda lid: line_to_row[lid])
-
-    stops: list[dict] = []            # in insertion order
-    stop_by_row: dict[int, int] = {}  # row_idx -> stop_pos
-    entry_rows: list[dict] = []
-    entry_id = -1
-
-    by_col = {cid: g.sort_values("y0", kind="stable")
-              for cid, g in cells.groupby("col_id", sort=True)}
-    col_x1 = cells.groupby("col_id")["x1"].max().to_dict()
-
-    # first pass: stops from the STOP columns + annotations
-    for cid in col_order:
-        ctype = col_types[cid]
-        if ctype == C_STOP:
-            for r in by_col[cid].itertuples():
-                rt = row_type_of_line.get(r.line_id)
-                if rt == R_DATA:
-                    row_idx = line_to_row[r.line_id]
-                    stop_by_row[row_idx] = len(stops)
-                    name = r.text
-                    if fixed_stop_text and r.line_id in fixed_stop_text:
-                        name = fixed_stop_text[r.line_id]
-                    stops.append({
-                        "table_id": table_id, "stop_pos": len(stops),
-                        "row_idx": row_idx, "stop_name": name.strip(),
-                        "stop_annot": "", "is_connection": False})
-        elif ctype == C_STOP_ANNOTATION:
-            for r in by_col[cid].itertuples():
-                rt = row_type_of_line.get(r.line_id)
-                if rt in (R_ROUTE_INFO, R_ANNOTATION):
-                    continue
-                pos = stop_by_row.get(line_to_row[r.line_id])
-                if pos is not None:
-                    stops[pos]["stop_annot"] = r.text
-
-    is_conn = detect_connections([s["stop_name"] for s in stops], cfg)
-    for s, c in zip(stops, is_conn):
-        s["is_connection"] = c
-
-    # second pass: entries (one per non-OTHER, non-STOP/annot column)
-    for cid in col_order:
-        ctype = col_types[cid]
-        if ctype in (C_OTHER, C_STOP, C_STOP_ANNOTATION):
-            continue
-        g = by_col[cid]
-        header_text = _header_text_for_column(
-            header_fields, header_line_order, col_x1[cid])
-        days = cfg.header_values.get(header_text.lower().strip(), "")
-        annots: set[str] = set()
-        route_name = ""
-        for r in g.itertuples():
-            rt = row_type_of_line.get(r.line_id)
-            if rt == R_ANNOTATION:
-                annots |= {a for a in r.text.strip().split(" ") if a}
-            elif rt == R_ROUTE_INFO and not route_name:
-                route_name = r.text
-        repeat: Optional[list[int]] = None
-        kind = "time"
-        if ctype == C_REPEAT:
-            kind = "repeat"
-            repeat = repeat_intervals_to_list(
-                m.repeat_intervals("\n".join(g["text"])))
-        entry_id += 1
-        values = []
-        for r in g.itertuples():
-            rt = row_type_of_line.get(r.line_id)
-            if rt != R_DATA:
-                continue
-            row_idx = line_to_row[r.line_id]
-            pos = stop_by_row.get(row_idx)
-            values.append((pos, row_idx, r.text))
-        if not values:
-            entry_id -= 1
-            continue
-        days_list = [d for d in days.split(",") if d] if days else []
-        for pos, row_idx, value in values:
-            stop = stops[pos] if pos is not None else None
-            entry_rows.append({
-                "table_id": table_id, "entry_id": entry_id, "kind": kind,
-                "header_text": header_text, "route_name": route_name,
-                "annotations": sorted(annots), "days": days_list,
-                "repeat_intervals": repeat,
-                "stop_pos": pos,
-                "stop_row_idx": row_idx,
-                "stop_name": stop["stop_name"] if stop else None,
-                "stop_annot": stop["stop_annot"] if stop else None,
-                "value": value})
-
-    entries = pd.DataFrame(entry_rows, columns=ENTRY_COLUMNS)
-    stops_df = pd.DataFrame(stops, columns=STOP_COLUMNS)
-    return entries, stops_df
 
 
 # ---------------------------------------------------------------------------
@@ -777,13 +815,14 @@ def extract_turn(payload: str,
 
     table_id = 0
     for line_order in tables:
-        tfields = fields[fields["line_id"].isin(line_order)]
+        tfields = fields[fields["line_id"].isin(set(line_order))]
         if tfields.empty:
             continue
-        # multi-stop-column split (pdftable/pdftable.py:302-312)
-        sub_tables = _split_multi_stop_columns(tfields, line_order, m)
-        for sub_fields, sub_lines in sub_tables:
-            res = _process_table(table_id, sub_fields, sub_lines, cfg, m)
+        analysis = _analyze_table(tfields, line_order, m)
+        if analysis is None:
+            continue
+        for sub in _split_multi_stop_columns(analysis, m):
+            res = _process_table(table_id, sub, cfg, m)
             if res is None or res.cells.empty:
                 continue
             result.tables.append(res)
@@ -791,36 +830,27 @@ def extract_turn(payload: str,
     return result
 
 
-def _split_multi_stop_columns(
-        tfields: pd.DataFrame, line_order: list[int],
-        m: _Matchers) -> list[tuple[pd.DataFrame, list[int]]]:
+def _split_multi_stop_columns(a: _TableAnalysis,
+                              m: _Matchers) -> list[_TableAnalysis]:
     """Split a table with several STOP columns into one table per stop
     column (pdftable/pdftable.py:151-163, 302-312). Fields are bucketed
-    by the x0 of the 2nd..nth stop column."""
-    rtypes = _row_types(tfields, line_order)
-    row_type_of_line = dict(zip(line_order, rtypes))
-    body_lines = [lid for lid, t in zip(line_order, rtypes)
-                  if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)]
-    body = tfields[tfields["line_id"].isin(body_lines)]
-    if body.empty:
-        return [(tfields, line_order)]
-    cells = _cluster_columns(body)
-    cells["ftype"] = m.field_types(cells["text"])
-    col_order = sorted(cells["col_id"].unique().tolist())
-    col_types = _column_types(cells, col_order, m)
-    stop_cols = [c for c in col_order if col_types[c] == C_STOP]
+    by the x0 of the 2nd..nth stop column; the single-stop fast path
+    reuses the existing analysis (no recomputation)."""
+    stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
     if len(stop_cols) <= 1:
-        return [(tfields, line_order)]
-    col_x0 = cells.groupby("col_id")["x0"].min()
+        return [a]
+    col_x0 = a.cells.groupby("col_id")["x0"].min()
     boundaries = sorted(col_x0[c] for c in stop_cols)[1:]
-    bucket = np.searchsorted(np.asarray(boundaries), tfields["x0"].to_numpy(),
-                             side="right")
+    bucket = np.searchsorted(np.asarray(boundaries),
+                             a.tfields["x0"].to_numpy(), side="right")
     out = []
     for b in range(len(stop_cols)):
-        part = tfields[bucket == b]
+        part = a.tfields[bucket == b]
         if part.empty:
             continue
-        lines = [lid for lid in line_order
-                 if lid in set(part["line_id"].tolist())]
-        out.append((part, lines))
+        part_lines = set(part["line_id"].tolist())
+        lines = [lid for lid in a.line_order if lid in part_lines]
+        sub = _analyze_table(part, lines, m)
+        if sub is not None:
+            out.append(sub)
     return out

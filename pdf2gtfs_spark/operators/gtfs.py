@@ -1,0 +1,319 @@
+"""GTFS-shaping relational tail (SURVEY.md §2.4-2.5, §3.1 stage 4).
+
+All ops are pure DataFrame transformations over the extraction output
+(`entries`/`stops` from plans.pipeline):
+
+- stops dedup: first-wins on normalized name with deterministic hash
+  ids (replaces the reference's sequential UIDGenerator, utils.py:15-48
+  — X18: sequential ids are nondeterministic under distribution)
+- trips: one per (conv, turn, table, entry)
+- stop_times: W6 sequence numbering, W7 24h service-day rollover
+  (stop_times.py:199-213), W11 consecutive-same-stop arrival/departure
+  fold (stop_times.py:215-221), X1 time parsing with >24h semantics
+- repeat expansion: sequence+explode between anchor trips
+  (stop_times.py:247-264), cycle/mean strategies (X10, A10)
+- calendar: dedup on (days, annotations) (calendar.py:109-123)
+
+Scale: every op is a window or hash-shuffle on (conv_id-derived) keys;
+no driver loops, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pdf2gtfs_spark.functions.normalize import normalize_col
+from pdf2gtfs_spark.kernel.timefmt import time_format_to_regex
+from pdf2gtfs_spark.operators import register
+
+
+def _time_parse_cols(col, fmt: str):
+    """X1: strftime-format -> day-seconds via regexp (never Timestamp)."""
+    pattern, order = time_format_to_regex(fmt)
+    jregex = pattern.pattern
+    mult = {"H": 3600, "M": 60, "S": 1}
+    expr = F.lit(0)
+    for i, spec in enumerate(order, start=1):
+        expr = expr + (F.regexp_extract(col, jregex, i).cast("int")
+                       * mult[spec])
+    is_time = F.regexp_extract(col, jregex, 0) != ""
+    return is_time, expr
+
+
+def gtfs_time_str(seconds_col):
+    """int seconds -> 'HH:MM:SS' with hours allowed past 24."""
+    h = (seconds_col / 3600).cast("int")
+    m = ((seconds_col % 3600) / 60).cast("int")
+    s = (seconds_col % 60).cast("int")
+    return F.format_string("%02d:%02d:%02d", h, m, s)
+
+
+def build_stops(entries: DataFrame,
+                cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """A4/J5: first-wins dedup on normalized stop name.
+
+    stop_id = 60-bit hash of the normalized name: deterministic across
+    runs/cluster sizes, unlike sequential ids (X18).
+    """
+    stops = (entries.where("kind = 'time' AND stop_name IS NOT NULL")
+             .select("stop_name")
+             .withColumn("normalized_name",
+                         normalize_col(F.col("stop_name"), cfg)))
+    w = Window.partitionBy("normalized_name").orderBy("stop_name")
+    return (stops.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select(
+                F.conv(F.substring(F.md5("normalized_name"), 1, 15), 16, 10)
+                .cast("bigint").alias("stop_id"),
+                F.col("stop_name"), "normalized_name"))
+
+
+def build_trips(entries: DataFrame) -> DataFrame:
+    """One trip per timed entry; deterministic trip key."""
+    return (entries.where("kind = 'time'")
+            .select("conv_id", "turn_idx", "table_id", "entry_id",
+                    "header_text", "days", "route_name")
+            .distinct()
+            .withColumn(
+                "trip_id",
+                F.concat_ws("/", "conv_id", "turn_idx", "table_id",
+                            "entry_id")))
+
+
+def build_stop_times(entries: DataFrame, stops: DataFrame,
+                     cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """entries -> GTFS stop_times rows.
+
+    Window chain per trip (= one extracted column), ordered by stop_pos:
+      1. X1 parse to day-seconds;
+      2. W7 rollover: +24h each time the clock runs backwards
+         (prefix-sum window);
+      3. W11 fold: runs of consecutive equal normalized stops collapse
+         to one row (first time = arrival, last = departure);
+      4. W6: stop_sequence = position of the run's first stop.
+    """
+    timed = (entries
+             .where("kind = 'time' AND value IS NOT NULL "
+                    "AND stop_name IS NOT NULL")
+             .withColumn("trip_id",
+                         F.concat_ws("/", "conv_id", "turn_idx",
+                                     "table_id", "entry_id")))
+    is_time, secs = _time_parse_cols(
+        F.regexp_replace("value", " ", ""), cfg.time_format)
+    timed = (timed.withColumn("day_seconds",
+                              F.when(is_time, secs).otherwise(0))
+             .withColumn("normalized_name",
+                         normalize_col(F.col("stop_name"), cfg)))
+
+    w = Window.partitionBy("trip_id").orderBy("stop_pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    # W7 rollover
+    rolled = (timed.withColumn(
+        "wrapped",
+        F.when(F.col("day_seconds")
+               < F.lag("day_seconds").over(w), 1).otherwise(0))
+        .withColumn("svc_seconds",
+                    F.col("day_seconds")
+                    + 86400 * F.sum("wrapped").over(run)))
+    # W11 fold: run-cluster consecutive same normalized stops
+    new_run = F.when(
+        F.lag("normalized_name").over(w).isNull()
+        | (F.lag("normalized_name").over(w) != F.col("normalized_name")),
+        1).otherwise(0)
+    clustered = rolled.withColumn(
+        "run_id", F.sum(new_run).over(run))
+    folded = (clustered.groupBy("trip_id", "run_id")
+              .agg(F.first("normalized_name").alias("normalized_name"),
+                   F.min("stop_pos").alias("stop_sequence"),
+                   F.min("svc_seconds").alias("arr_seconds"),
+                   F.max("svc_seconds").alias("dep_seconds")))
+    return (folded
+            .join(F.broadcast(stops.select("stop_id", "normalized_name")),
+                  "normalized_name")
+            .select("trip_id", "stop_sequence",
+                    F.col("arr_seconds"), F.col("dep_seconds"),
+                    gtfs_time_str(F.col("arr_seconds"))
+                    .alias("arrival_time"),
+                    gtfs_time_str(F.col("dep_seconds"))
+                    .alias("departure_time"),
+                    "stop_id")
+            .orderBy("trip_id", "stop_sequence"))
+
+
+def expand_repeats(entries: DataFrame, stop_times: DataFrame,
+                   cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Repeat expansion (stop_times.py:247-264) as sequence+explode.
+
+    For each repeat column sandwiched between two timed entries, emit
+    shifted copies of the previous trip until the next trip's start is
+    reached. Shift of the k-th copy under the cycle strategy:
+        shift(k) = (k // len) * sum(deltas) + prefix[k % len]
+    computed with element_at over a per-entry cumulative-sum array —
+    no UDF, no driver loop.
+    """
+    reps = (entries.where(
+                "kind = 'repeat' AND repeat_intervals IS NOT NULL "
+                "AND size(repeat_intervals) > 0")
+            .select("conv_id", "turn_idx", "table_id", "entry_id",
+                    "repeat_intervals").distinct())
+    if cfg.repeat_strategy == "mean":
+        reps = reps.withColumn(
+            "deltas",
+            F.array(F.aggregate("repeat_intervals", F.lit(0.0),
+                                lambda a, x: a + x)
+                    / F.size("repeat_intervals")))
+    else:
+        reps = reps.withColumn(
+            "deltas", F.col("repeat_intervals").cast("array<double>"))
+
+    trips = (entries.where("kind = 'time'")
+             .select("conv_id", "turn_idx", "table_id", "entry_id")
+             .distinct())
+    wt = Window.partitionBy("conv_id", "turn_idx", "table_id").orderBy(
+        "entry_id")
+    ordered = trips.withColumn(
+        "prev_entry", F.lag("entry_id").over(wt))
+    # repeat entry k sits between entries with ids k-1 and k+1 in the
+    # kernel's column traversal; anchor = nearest timed neighbors
+    anchored = (reps.alias("r")
+                .join(ordered.alias("n"),
+                      (F.col("r.conv_id") == F.col("n.conv_id"))
+                      & (F.col("r.turn_idx") == F.col("n.turn_idx"))
+                      & (F.col("r.table_id") == F.col("n.table_id"))
+                      & (F.col("n.entry_id") > F.col("r.entry_id"))
+                      & (F.col("n.prev_entry") < F.col("r.entry_id")))
+                .select("r.conv_id", "r.turn_idx", "r.table_id",
+                        "r.deltas",
+                        F.col("n.prev_entry").alias("prev_entry"),
+                        F.col("n.entry_id").alias("next_entry")))
+    starts = (stop_times
+              .groupBy("trip_id")
+              .agg(F.min(F.struct("stop_sequence", "arr_seconds"))
+                   .alias("first"))
+              .select("trip_id", F.col("first.arr_seconds")
+                      .alias("start_seconds")))
+    key = F.concat_ws("/", "conv_id", "turn_idx", "table_id")
+    anchored = (anchored
+                .withColumn("prev_trip",
+                            F.concat_ws("/", key, "prev_entry"))
+                .withColumn("next_trip",
+                            F.concat_ws("/", key, "next_entry"))
+                .join(starts.withColumnRenamed("trip_id", "prev_trip")
+                      .withColumnRenamed("start_seconds", "prev_start"),
+                      "prev_trip")
+                .join(starts.withColumnRenamed("trip_id", "next_trip")
+                      .withColumnRenamed("start_seconds", "next_start"),
+                      "next_trip"))
+    # cumulative-sum array of one delta cycle
+    anchored = (anchored
+                .withColumn("cycle_sum",
+                            F.aggregate("deltas", F.lit(0.0),
+                                        lambda a, x: a + x) * 60)
+                .withColumn(
+                    "prefix",
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("deltas")),
+                        lambda i: F.aggregate(
+                            F.slice("deltas", 1, i), F.lit(0.0),
+                            lambda a, x: a + x) * 60))
+                .withColumn("n_deltas", F.size("deltas"))
+                .withColumn("gap",
+                            F.col("next_start") - F.col("prev_start")))
+    min_delta = F.array_min("deltas") * 60
+    k_hi = F.ceil(F.col("gap") / min_delta) + 1
+    exploded = (anchored
+                .withColumn("k", F.explode(F.sequence(F.lit(1), k_hi)))
+                .withColumn(
+                    "shift_s",
+                    (F.floor((F.col("k") - 1) / F.col("n_deltas"))
+                     * F.col("cycle_sum"))
+                    + F.element_at(
+                        "prefix",
+                        ((F.col("k") - 1) % F.col("n_deltas") + 1)
+                        .cast("int")))
+                .where(F.col("shift_s") <= F.col("gap")))
+    copies = (exploded
+              .select("prev_trip", "next_trip", "k",
+                      F.col("shift_s").cast("bigint").alias("shift_s")))
+    out = (stop_times.join(
+               copies.withColumnRenamed("prev_trip", "trip_id"), "trip_id")
+           .select(
+               F.concat_ws("#", "trip_id", F.col("k").cast("string"))
+               .alias("trip_id"),
+               "stop_sequence",
+               (F.col("arr_seconds") + F.col("shift_s"))
+               .alias("arr_seconds"),
+               (F.col("dep_seconds") + F.col("shift_s"))
+               .alias("dep_seconds"),
+               "stop_id")
+           .withColumn("arrival_time", gtfs_time_str(F.col("arr_seconds")))
+           .withColumn("departure_time", gtfs_time_str(F.col("dep_seconds")))
+           .select("trip_id", "stop_sequence", "arr_seconds", "dep_seconds",
+                   "arrival_time", "departure_time", "stop_id"))
+    return out
+
+
+def build_calendar(entries: DataFrame) -> DataFrame:
+    """A4 calendar dedup on (days, annotations) (calendar.py:109-123)."""
+    svc = (entries.where("kind = 'time'")
+           .select(F.array_join(F.coalesce(
+                       F.col("days"), F.array().cast("array<string>")), ",")
+                   .alias("days_key"),
+                   F.array_join(F.coalesce(
+                       F.col("annotations"),
+                       F.array().cast("array<string>")), ",")
+                   .alias("annots_key"),
+                   "days")
+           .distinct())
+    day_flags = [
+        F.array_contains(F.coalesce(F.col("days"),
+                                    F.array().cast("array<string>")),
+                         str(i)).cast("int").alias(dname)
+        for i, dname in enumerate(
+            ["monday", "tuesday", "wednesday", "thursday", "friday",
+             "saturday", "sunday"])]
+    return (svc.select(
+                F.conv(F.substring(
+                    F.md5(F.concat_ws("|", "days_key", "annots_key")),
+                    1, 15), 16, 10).cast("bigint").alias("service_id"),
+                "days_key", "annots_key", *day_flags)
+            .distinct()
+            .orderBy("service_id"))
+
+
+# ---------------------------------------------------------------------------
+# registered queries (extraction-derived => rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _synthetic_extracted(spark, n_convs: int = 3):
+    from pdf2gtfs_spark.plans.pipeline import run_extract
+    from pdf2gtfs_spark.sources.transcripts import generate_transcripts
+
+    transcripts, _ = generate_transcripts(
+        n_convs=n_convs, base_turns=2, skew_every=0)
+    tdf = spark.createDataFrame(transcripts)
+    return run_extract(tdf, num_partitions=8)
+
+
+@register("extract_cells_flagship")
+def extract_cells_flagship(spark, sf_dir):
+    """Full extraction pipeline on deterministic synthetic transcripts;
+    kernel-backed, not SQL-expressible -> rows-only check."""
+    from pdf2gtfs_spark.plans.pipeline import cells_table
+
+    return (cells_table(_synthetic_extracted(spark))
+            .orderBy("conv_id", "turn_idx", "table_id", "row_idx",
+                     "col_idx"))
+
+
+@register("gtfs_stop_times_pipeline")
+def gtfs_stop_times_pipeline(spark, sf_dir):
+    """Extraction -> normalized entries -> GTFS stop_times with
+    rollover/fold/sequence windows; rows-only check."""
+    from pdf2gtfs_spark.plans.pipeline import entries_table
+
+    entries = entries_table(_synthetic_extracted(spark))
+    stops = build_stops(entries)
+    return build_stop_times(entries, stops)

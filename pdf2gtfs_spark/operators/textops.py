@@ -1,0 +1,487 @@
+"""Training-data pipeline operators: dedup families, similarity search,
+text analysis (task brief "beyond the reference" requirements).
+
+Portability contract with the DuckDB oracles:
+- token split: regex '\\s+' in both engines;
+- 64-bit-ish hashes derive from md5 hex (first 15 hex chars -> 60-bit
+  int) — identical in both engines, unlike engine-native hash();
+- float outputs are rounded/integer-ized before comparison.
+
+Scale notes: every dedup/similarity op is an inverted-index/bucket
+join (shuffle on shingle/band/bucket key), never an O(n^2) cross join;
+at 100 TB hot shingles are the skew risk -> frequency-capped via a
+max-bucket filter, mirroring what MinHashLSH implementations do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf2gtfs_spark.operators import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md5int_spark(col):
+    """First 15 hex chars of md5 -> 60-bit bigint (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def _md5int_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _tokens_spark(col):
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+_TOKENS_SQL = ("list_filter(string_split_regex({expr}, '\\s+'), "
+               "x -> x <> '')")
+
+
+# --- exact dedup (hash-groupBy) ---------------------------------------------
+# Scale: one shuffle on the 128-bit content hash; group sizes are tiny,
+# first-wins keeper is deterministic (min doc_id).
+@register("dedup_exact", oracle="""
+SELECT md5(text) AS content_hash,
+       count(*) AS n_copies,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+""")
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.md5("text").alias("content_hash"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .orderBy("content_hash"))
+
+
+# --- near-dup by normalized prefix key --------------------------------------
+@register("dedup_prefix_key", oracle="""
+SELECT prefix_key, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id,
+             array_to_string(list_slice(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> ''), 1, 8), ' ') AS prefix_key
+      FROM documents)
+GROUP BY prefix_key HAVING count(*) > 1 ORDER BY prefix_key
+""")
+def dedup_prefix_key(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    key = F.array_join(
+        F.slice(_tokens_spark(F.lower(F.col("text"))), 1, 8), " ")
+    return (d.select("doc_id", key.alias("prefix_key"))
+            .groupBy("prefix_key")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min("doc_id").alias("keeper_doc_id"))
+            .where("n_docs > 1")
+            .orderBy("prefix_key"))
+
+
+# --- character-4-gram shingles (shared by jaccard + minhash) -----------------
+
+def _shingles_spark(d: DataFrame) -> DataFrame:
+    """Distinct char-4-gram shingles per doc (1-based positions)."""
+    return (d.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(1),
+                                     F.length("text") - 3)).alias("pos"))
+            .join(d.select("doc_id", "text"), "doc_id")
+            .select("doc_id",
+                    F.expr("substring(text, pos, 4)").alias("shingle"))
+            .distinct())
+
+
+_SHINGLES_SQL = """
+SELECT DISTINCT doc_id, substr(text, pos, 4) AS shingle
+FROM (SELECT doc_id, text,
+             unnest(generate_series(1, length(text) - 3)) AS pos
+      FROM documents)
+"""
+
+
+# --- n-gram Jaccard near-dup via inverted-index join -------------------------
+# Scale: self-join on shingle (inverted index), NOT doc x doc. Hot
+# shingles capped at 64 docs (df cap) to bound the pair blowup —
+# standard candidate-pruning; exact jaccard then computed per pair.
+@register("dedup_ngram_jaccard", oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
+capped AS (
+  SELECT shingle, doc_id FROM (
+    SELECT shingle, doc_id,
+           count(*) OVER (PARTITION BY shingle) AS df
+    FROM shingles) WHERE df <= 64
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(round(1000.0 * n_common /
+            (sa.n_shingles + sb.n_shingles - n_common)) AS BIGINT)
+           AS jaccard_millis
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 1000.0 * n_common / (sa.n_shingles + sb.n_shingles - n_common) >= 150
+ORDER BY doc_a, doc_b
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles_spark(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    wdf = Window.partitionBy("shingle")
+    capped = (sh.withColumn("df", F.count("*").over(wdf))
+              .where("df <= 64").drop("df"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_shingles").alias("nb"))
+    jac = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jmil", 1000.0 * F.col("n_common")
+                       / (F.col("na") + F.col("nb") - F.col("n_common"))))
+    return (jac.where("jmil >= 150")
+            .select("doc_a", "doc_b", "n_common",
+                    F.round("jmil").cast("bigint").alias("jaccard_millis"))
+            .orderBy("doc_a", "doc_b"))
+
+
+# --- MinHash signatures (K=6 independent hash functions) ---------------------
+# h_k(shingle) = md5int(k || '#' || shingle): engine-portable, no
+# overflow-prone modular arithmetic. Long format (doc_id, k, minhash).
+_MINHASH_K = 6
+
+
+@register("minhash_signatures", oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL})
+SELECT doc_id, k,
+       min({_md5int_sql("concat(CAST(k AS VARCHAR), '#', shingle)")})
+           AS minhash
+FROM shingles, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
+GROUP BY doc_id, k ORDER BY doc_id, k
+""")
+def minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sh = _shingles_spark(d)
+    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
+    hashed = sh.crossJoin(F.broadcast(ks)).select(
+        "doc_id", "k",
+        _md5int_spark(F.concat(F.col("k").cast("string"), F.lit("#"),
+                               F.col("shingle"))).alias("h"))
+    return (hashed.groupBy("doc_id", "k")
+            .agg(F.min("h").alias("minhash"))
+            .orderBy("doc_id", "k"))
+
+
+# --- MinHash-LSH candidate pairs (bands of 2 rows) ---------------------------
+# Scale: band-bucket equi-join; bucket sizes bounded by banding theory.
+@register("minhash_lsh_pairs", oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id, k,
+         min({_md5int_sql("concat(CAST(k AS VARCHAR), '#', shingle)")})
+             AS minhash
+  FROM shingles, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k))
+             AS band_key
+  FROM sigs GROUP BY doc_id, k // 2
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY doc_a, doc_b
+""")
+def minhash_lsh_pairs(spark, sf_dir):
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = (sigs.withColumn("band", (F.col("k") / 2).cast("int"))
+             .groupBy("doc_id", "band")
+             .agg(F.md5(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(F.struct("k", "minhash"))),
+                     lambda s: s["minhash"].cast("string")),
+                 ",")).alias("band_key")))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count("*").alias("n_shared_bands"))
+            .orderBy("doc_a", "doc_b"))
+
+
+# --- SimHash fingerprints (60-bit, token multiset) ---------------------------
+@register("simhash_fingerprints", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL.format(expr='lower(text)')}) AS tok
+  FROM documents
+), bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ({_md5int_sql('tok')} >> b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS weight
+  FROM toks, (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN weight > 0 THEN (CAST(1 AS BIGINT) << b)
+                ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id ORDER BY doc_id
+""")
+def simhash_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(_tokens_spark(F.lower(F.col("text")))).alias("tok"))
+    bs = spark.range(60).select(F.col("id").cast("int").alias("b"))
+    bits = (toks.withColumn("h", _md5int_spark(F.col("tok")))
+            .crossJoin(F.broadcast(bs))
+            .groupBy("doc_id", "b")
+            .agg(F.sum(F.when(
+                F.expr("(h >> b) & 1") == 1,
+                1).otherwise(-1)).alias("weight")))
+    return (bits.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("weight") > 0,
+                              F.expr("shiftleft(cast(1 as bigint), b)"))
+                       .otherwise(0)).cast("bigint").alias("simhash"))
+            .orderBy("doc_id"))
+
+
+# --- brute-force cosine top-k (ANN baseline) ---------------------------------
+# Scale path: queries broadcast against the corpus; per-partition local
+# top-k then global top-k (the orderBy after groupBy is driver-cheap).
+@register("embedding_cosine_topk", oracle="""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id >= 5),
+scored AS (
+  SELECT query_id, vec_id,
+         CAST(round(1e6 * list_cosine_similarity(qv, cv)) AS BIGINT)
+             AS cos_micros
+  FROM q, c
+)
+SELECT query_id, rk, vec_id AS neighbor_id, cos_micros
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_micros DESC, vec_id) AS rk
+      FROM scored)
+WHERE rk <= 3 ORDER BY query_id, rk
+""")
+def embedding_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("v"))
+    q = ed.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    c = ed.where("vec_id >= 5").select("vec_id", F.col("v").alias("cv"))
+    dot = F.aggregate(F.zip_with("qv", "cv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nq = F.sqrt(F.aggregate("qv", F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate("cv", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("cos_micros",
+                          F.round(1e6 * dot / (nq * nc)).cast("bigint")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micros"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where("rk <= 3")
+            .select("query_id", "rk", F.col("vec_id").alias("neighbor_id"),
+                    "cos_micros")
+            .orderBy("query_id", "rk"))
+
+
+# --- sign-LSH bucketing over anchor vectors (ANN scale path) -----------------
+@register("embedding_lsh_buckets", oracle="""
+WITH anchors AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+                 FROM embeddings WHERE vec_id < 4),
+sgn AS (
+  SELECT e.vec_id,
+         CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], a.av) > 0
+                  THEN CAST(1 AS BIGINT) << a.aid ELSE 0 END) AS BIGINT)
+             AS bucket
+  FROM embeddings e, anchors a
+  WHERE e.vec_id >= 4
+  GROUP BY e.vec_id
+)
+SELECT bucket, count(*) AS n_vectors
+FROM sgn GROUP BY bucket ORDER BY bucket
+""")
+def embedding_lsh_buckets(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id",
+                  F.col("embedding").cast("array<double>").alias("v"))
+    anchors = ed.where("vec_id < 4").select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av"))
+    dot = F.aggregate(F.zip_with("v", "av", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    sgn = (ed.where("vec_id >= 4").crossJoin(F.broadcast(anchors))
+           .withColumn("dot", dot)
+           .groupBy("vec_id")
+           .agg(F.sum(F.when(F.col("dot") > 0,
+                             F.expr("shiftleft(cast(1 as bigint), aid)"))
+                      .otherwise(0)).cast("bigint").alias("bucket")))
+    return (sgn.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+            .orderBy("bucket"))
+
+
+# --- language ID by stopword voting ------------------------------------------
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "de": ["der", "die", "und", "ein"],
+    "fr": ["le", "la", "et", "un"],
+}
+_MARKER_ROWS = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in _LANG_MARKERS.items() for w in ws)
+
+
+@register("langid_stopword_vote", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS_SQL.format(expr='lower(text)')}) AS tok
+  FROM documents
+), markers(lang, w) AS (VALUES {_MARKER_ROWS}),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS n_hits
+  FROM toks t JOIN markers m ON t.tok = m.w
+  GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       coalesce(h.lang, 'und') AS guessed_lang,
+       coalesce(h.n_hits, 0) AS n_hits
+FROM documents d
+LEFT JOIN (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n_hits DESC, lang) AS rk
+           FROM hits) h
+  ON d.doc_id = h.doc_id AND h.rk = 1
+ORDER BY d.doc_id
+""")
+def langid_stopword_vote(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(_tokens_spark(F.lower(F.col("text")))).alias("tok"))
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in _LANG_MARKERS.items() for w in ws],
+        "lang string, w string")
+    hits = (toks.join(F.broadcast(markers), toks.tok == markers.w)
+            .groupBy("doc_id", "lang").agg(F.count("*").alias("n_hits")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
+    best = hits.withColumn("rk", F.row_number().over(w)).where("rk = 1")
+    return (d.select("doc_id")
+            .join(best, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lang", F.lit("und")).alias("guessed_lang"),
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+            .orderBy("doc_id"))
+
+
+# --- quality scoring ----------------------------------------------------------
+@register("quality_score", oracle=f"""
+WITH t AS (
+  SELECT doc_id, text,
+         length(text) AS n_chars2,
+         len({_TOKENS_SQL.format(expr='text')}) AS n_tokens,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|a|of|and|der|die|und|le|la|et)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars2, n_tokens,
+       CAST(round(1000.0 * n_punct / n_chars2) AS BIGINT) AS punct_millis,
+       CAST(round(1000.0 * n_stop / n_tokens) AS BIGINT) AS stopword_millis,
+       CASE WHEN n_tokens >= 20 AND 1000.0 * n_punct / n_chars2 < 100
+            THEN 1 ELSE 0 END AS passes_quality
+FROM t ORDER BY doc_id
+""")
+def quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(_tokens_spark(F.col("text")))
+    n_punct = F.size(F.regexp_extract_all(
+        "text", F.lit(r"([\!-\/\:-\@\[-\`\{-\~])")))
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")),
+        F.lit(r"(\b(?:the|a|of|and|der|die|und|le|la|et)\b)")))
+    t = d.select(
+        "doc_id", F.length("text").alias("n_chars2"),
+        n_tokens.alias("n_tokens"), n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"))
+    return (t.select(
+                "doc_id", "n_chars2", "n_tokens",
+                F.round(1000.0 * F.col("n_punct") / F.col("n_chars2"))
+                .cast("bigint").alias("punct_millis"),
+                F.round(1000.0 * F.col("n_stop") / F.col("n_tokens"))
+                .cast("bigint").alias("stopword_millis"),
+                F.when((F.col("n_tokens") >= 20)
+                       & (1000.0 * F.col("n_punct") / F.col("n_chars2")
+                          < 100), 1).otherwise(0).alias("passes_quality"))
+            .orderBy("doc_id"))
+
+
+# --- token counting ------------------------------------------------------------
+@register("token_count", oracle=f"""
+SELECT doc_id,
+       len({_TOKENS_SQL.format(expr='text')}) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+           AS bpeish_tokens
+FROM documents ORDER BY doc_id
+""")
+def token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (d.select(
+                "doc_id",
+                F.size(_tokens_spark(F.col("text"))).alias("ws_tokens"),
+                F.size(F.regexp_extract_all(
+                    "text",
+                    F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])")))
+                .alias("bpeish_tokens"))
+            .orderBy("doc_id"))
+
+
+# --- document fingerprint (position-bucketed xor hash) -------------------------
+@register("doc_fingerprint", oracle=f"""
+WITH toks AS (
+  SELECT doc_id, tok, (idx - 1) % 8 AS posb
+  FROM (SELECT doc_id,
+               unnest({_TOKENS_SQL.format(expr='lower(text)')}) AS tok,
+               unnest(generate_series(
+                   1, len({_TOKENS_SQL.format(expr='lower(text)')}))) AS idx
+        FROM documents)
+)
+SELECT doc_id,
+       bit_xor({_md5int_sql("concat(tok, '@', CAST(posb AS VARCHAR))")})
+           AS fingerprint
+FROM toks GROUP BY doc_id ORDER BY doc_id
+""")
+def doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(_tokens_spark(F.lower(F.col("text"))))
+        .alias("idx", "tok"))
+    h = _md5int_spark(
+        F.concat(F.col("tok"), F.lit("@"),
+                 (F.col("idx") % 8).cast("string")))
+    return (toks.groupBy("doc_id")
+            .agg(F.expr(
+                "bit_xor(cast(conv(substring(md5(concat(tok, '@', "
+                "cast(idx % 8 as string))), 1, 15), 16, 10) as bigint))")
+                .alias("fingerprint"))
+            .orderBy("doc_id"))
