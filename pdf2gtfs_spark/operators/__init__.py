@@ -26,4 +26,6 @@ def register(name: str, oracle: Optional[str] = None):
 
 def load_all() -> None:
     """Import all operator modules so their registrations run."""
-    from pdf2gtfs_spark.operators import gtfs, relational, textops  # noqa: F401
+    from pdf2gtfs_spark.operators import (  # noqa: F401
+        gtfs, relational, scalars, textops,
+    )

@@ -424,3 +424,49 @@ def argmax_event_type_per_user(spark, sf_dir):
             .where("rk = 1")
             .select("user_id", F.col("event_type").alias("top_type"), "n")
             .orderBy("user_id"))
+
+
+# --- J6: theta join via regex containment (locate/__init__.py:138-175) ------
+# Broadcast nested-loop join with a non-equi predicate: the small side
+# broadcasts (like the reference's stop list), the big side scans once.
+@register("theta_containment_join", oracle="""
+WITH sizes AS (SELECT DISTINCT p_size FROM part WHERE p_size <= 12)
+SELECT p_size, count(*) AS n_events
+FROM events e JOIN sizes s
+  ON regexp_matches(e.props, concat(': ', CAST(p_size AS VARCHAR), '}'))
+GROUP BY p_size ORDER BY p_size
+""")
+def theta_containment_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    sizes = (_t(spark, sf_dir, "part")
+             .where("p_size <= 12").select("p_size").distinct())
+    pred = F.expr(
+        "props rlike concat(': ', cast(p_size as string), '\\}')")
+    return (e.join(F.broadcast(sizes), pred)
+            .groupBy("p_size").agg(F.count("*").alias("n_events"))
+            .orderBy("p_size"))
+
+
+# --- J12: positional zip-strict join (table/table.py:40-55) ------------------
+@register("zip_positional_join", oracle="""
+WITH c AS (SELECT c_custkey, row_number() OVER (ORDER BY c_acctbal DESC,
+                                                c_custkey) AS rn
+           FROM customer LIMIT 10),
+s AS (SELECT s_suppkey, row_number() OVER (ORDER BY s_acctbal DESC,
+                                           s_suppkey) AS rn
+      FROM supplier LIMIT 10)
+SELECT c.rn AS pos, c_custkey, s_suppkey
+FROM c JOIN s ON c.rn = s.rn ORDER BY pos
+""")
+def zip_positional_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    wc = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    ws = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    top_c = (c.withColumn("rn", F.row_number().over(wc))
+             .where("rn <= 10").select("rn", "c_custkey"))
+    top_s = (s.withColumn("rn", F.row_number().over(ws))
+             .where("rn <= 10").select("rn", "s_suppkey"))
+    return (top_c.join(top_s, "rn")
+            .select(F.col("rn").alias("pos"), "c_custkey", "s_suppkey")
+            .orderBy("pos"))

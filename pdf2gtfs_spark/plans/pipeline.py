@@ -89,10 +89,19 @@ def run_extract(transcripts_df, cfg: ExtractConfig = DEFAULT_CONFIG,
                 num_partitions: int | None = None):
     """transcripts -> nested per-table extraction DataFrame.
 
-    Repartitions by (conv_id, turn_idx): hash-salting at turn grain so a
-    single 10^4-turn conversation cannot pin one executor (SURVEY.md §4
-    item 1). The kernel is stateless per turn, so this is safe; the
-    conv-grain shuffle happens later on far smaller extracted rows.
+    The kernel is stateless per turn, so by default it runs directly on
+    the scan partitions — shuffling multi-KB payloads before a map-only
+    stage would double the stage's I/O for nothing. Pass
+    ``num_partitions`` to force a salted repartition on
+    (conv_id, turn_idx): needed only when the *input layout* is skewed
+    (e.g. one file per conversation with 10^4-turn outliers, SURVEY.md
+    §4 item 1); salting at turn grain is safe because no per-conv state
+    exists before the reassembly window, which shuffles the far smaller
+    extracted rows.
+
+    At 100 TB the scan parallelism comes from Iceberg file splits —
+    keep spark.sql.files.maxPartitionBytes small enough that wide
+    payload rows still yield >= 2-3 splits per executor core.
     """
     from pyspark.sql import functions as F
 
@@ -100,8 +109,6 @@ def run_extract(transcripts_df, cfg: ExtractConfig = DEFAULT_CONFIG,
     if num_partitions:
         df = df.repartition(num_partitions, F.col("conv_id"),
                             F.col("turn_idx"))
-    else:
-        df = df.repartition(F.col("conv_id"), F.col("turn_idx"))
     return df.mapInPandas(make_extract_kernel(cfg), EXTRACT_SCHEMA)
 
 
