@@ -461,12 +461,17 @@ FROM c JOIN s ON c.rn = s.rn ORDER BY pos
 def zip_positional_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
+    # limit-first: Spark plans orderBy+limit as TakeOrderedAndProject
+    # (per-partition top-k + merge), so the unpartitioned row_number
+    # window only ever sees the 10 surviving rows
     wc = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     ws = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    top_c = (c.withColumn("rn", F.row_number().over(wc))
-             .where("rn <= 10").select("rn", "c_custkey"))
-    top_s = (s.withColumn("rn", F.row_number().over(ws))
-             .where("rn <= 10").select("rn", "s_suppkey"))
+    top_c = (c.orderBy(F.desc("c_acctbal"), F.asc("c_custkey")).limit(10)
+             .withColumn("rn", F.row_number().over(wc))
+             .select("rn", "c_custkey"))
+    top_s = (s.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey")).limit(10)
+             .withColumn("rn", F.row_number().over(ws))
+             .select("rn", "s_suppkey"))
     return (top_c.join(top_s, "rn")
             .select(F.col("rn").alias("pos"), "c_custkey", "s_suppkey")
             .orderBy("pos"))
