@@ -548,7 +548,8 @@ def table_to_csv(a: _TableAnalysis, placeable: pd.DataFrame) -> str:
 ENTRY_COLUMNS = [
     "table_id", "entry_id", "kind", "header_text", "route_name",
     "annotations", "days", "repeat_intervals",
-    "stop_pos", "stop_row_idx", "stop_name", "stop_annot", "value",
+    "stop_pos", "stop_row_idx", "stop_name", "stop_annot",
+    "is_connection", "value",
 ]
 STOP_COLUMNS = ["table_id", "stop_pos", "row_idx", "stop_name",
                 "stop_annot", "is_connection"]
@@ -725,9 +726,14 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
     vals["stop_row_idx"] = vals["line_id"].map(a.line_to_row)
     vals["stop_pos"] = vals["stop_row_idx"].map(stop_pos_of_row)
     vals = vals.merge(meta, on="col_id", how="inner")
+    # is_connection rides along so the GTFS tail can skip connection
+    # stops without re-joining stops (gtfs_output/stop_times.py:205-207)
     vals = vals.merge(
-        stops_df[["stop_pos", "stop_name", "stop_annot"]],
+        stops_df[["stop_pos", "stop_name", "stop_annot", "is_connection"]],
         on="stop_pos", how="left")
+    vals["is_connection"] = np.where(
+        vals["is_connection"].isna(), False,
+        vals["is_connection"]).astype(bool)
     vals["table_id"] = table_id
     vals["value"] = vals["text"]
     vals["stop_pos"] = vals["stop_pos"].astype("object").where(

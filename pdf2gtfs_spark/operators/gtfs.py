@@ -100,6 +100,11 @@ def build_stop_times(entries: DataFrame, stops: DataFrame,
              .withColumn("trip_id",
                          F.concat_ws("/", "conv_id", "turn_idx",
                                      "table_id", "entry_id")))
+    # reference skips connection stops before emitting stop_times
+    # (gtfs_output/stop_times.py:205-207); entries frames built by hand
+    # in tests may lack the flag, so filter only when present
+    if "is_connection" in timed.columns:
+        timed = timed.where(~F.coalesce("is_connection", F.lit(False)))
     is_time, secs = _time_parse_cols(
         F.regexp_replace("value", " ", ""), cfg.time_format)
     timed = (timed.withColumn("day_seconds",
@@ -284,36 +289,140 @@ def build_calendar(entries: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# registered queries (extraction-derived => rows-only checks)
+# registered queries
 # ---------------------------------------------------------------------------
+#
+# Kernel-backed queries hand DuckDB a deterministic parquet (see _aux):
+# - flagship: the *expected* per-turn CSVs from the fixture/synthetic
+#   generator (ground truth, computed without the Spark kernel); the
+#   oracle hashes those, the Spark side hashes what the distributed
+#   kernel actually extracted -> hash match == per-turn text equality.
+# - stop_times: the extracted timed entries are materialized once and
+#   BOTH engines run the rollover/fold/sequence window chain on that
+#   same parquet -> checks the relational tail's window semantics.
 
-def _synthetic_extracted(spark, n_convs: int = 3):
-    from pdf2gtfs_spark.plans.pipeline import run_extract
+from pdf2gtfs_spark.operators._aux import aux_path, write_aux_pandas
+
+_SYNTH_PARAMS = dict(n_convs=3, base_turns=2, skew_every=0)
+
+
+def _synthetic_transcripts():
     from pdf2gtfs_spark.sources.transcripts import generate_transcripts
 
-    transcripts, _ = generate_transcripts(
-        n_convs=n_convs, base_turns=2, skew_every=0)
+    return generate_transcripts(**_SYNTH_PARAMS)
+
+
+def _synthetic_extracted(spark):
+    from pdf2gtfs_spark.plans.pipeline import run_extract
+
+    transcripts, _ = _synthetic_transcripts()
     tdf = spark.createDataFrame(transcripts)
     return run_extract(tdf, num_partitions=8)
 
 
-@register("extract_cells_flagship")
+@register("extract_cells_flagship", oracle=f"""
+SELECT conv_id, turn_idx,
+       md5(expected_csvs) AS csv_md5,
+       CAST(length(expected_csvs) AS BIGINT) AS csv_len
+FROM read_parquet('{aux_path("flagship_expected.parquet")}')
+ORDER BY conv_id, turn_idx
+""")
 def extract_cells_flagship(spark, sf_dir):
-    """Full extraction pipeline on deterministic synthetic transcripts;
-    kernel-backed, not SQL-expressible -> rows-only check."""
-    from pdf2gtfs_spark.plans.pipeline import cells_table
+    """Flagship invariant, oracle-checked: the distributed kernel's
+    per-turn CSV concatenation must hash-equal the generator's expected
+    CSVs (BASELINE.json per-turn text equality)."""
+    from pdf2gtfs_spark.plans.pipeline import turn_csvs
 
-    return (cells_table(_synthetic_extracted(spark))
-            .orderBy("conv_id", "turn_idx", "table_id", "row_idx",
-                     "col_idx"))
+    _, expected = _synthetic_transcripts()
+    write_aux_pandas("flagship_expected.parquet", expected)
+    per_turn = turn_csvs(_synthetic_extracted(spark))
+    return (per_turn.select(
+                "conv_id", "turn_idx",
+                F.md5("extracted_csvs").alias("csv_md5"),
+                F.length("extracted_csvs").cast("bigint").alias("csv_len"))
+            .orderBy("conv_id", "turn_idx"))
 
 
-@register("gtfs_stop_times_pipeline")
+_ST_PARQUET = aux_path("gtfs_entries.parquet")
+_ST_TIME_RE = r"^(\d{1,2})\.(\d{1,2})$"
+
+
+@register("gtfs_stop_times_pipeline", oracle=f"""
+WITH e AS (
+  SELECT trip_id, stop_pos, normalized_name,
+         CASE WHEN regexp_matches(replace(value, ' ', ''), '{_ST_TIME_RE}')
+              THEN CAST(regexp_extract(replace(value, ' ', ''),
+                        '{_ST_TIME_RE}', 1) AS INT) * 3600
+                 + CAST(regexp_extract(replace(value, ' ', ''),
+                        '{_ST_TIME_RE}', 2) AS INT) * 60
+              ELSE 0 END AS day_seconds
+  FROM read_parquet('{_ST_PARQUET}')
+  WHERE NOT is_connection
+), flagged AS (
+  SELECT *, CASE WHEN day_seconds < lag(day_seconds) OVER w
+                 THEN 1 ELSE 0 END AS wrapped,
+         CASE WHEN lag(normalized_name) OVER w IS NULL
+               OR lag(normalized_name) OVER w <> normalized_name
+              THEN 1 ELSE 0 END AS new_run
+  FROM e WINDOW w AS (PARTITION BY trip_id ORDER BY stop_pos)
+), rolled AS (
+  SELECT *, day_seconds + 86400 * sum(wrapped) OVER w2 AS svc_seconds,
+         sum(new_run) OVER w2 AS run_id
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY trip_id ORDER BY stop_pos
+                ROWS UNBOUNDED PRECEDING)
+), folded AS (
+  SELECT trip_id, run_id, min(normalized_name) AS normalized_name,
+         CAST(min(stop_pos) AS INT) AS stop_sequence,
+         CAST(min(svc_seconds) AS BIGINT) AS arr_seconds,
+         CAST(max(svc_seconds) AS BIGINT) AS dep_seconds
+  FROM rolled GROUP BY trip_id, run_id
+)
+SELECT trip_id, stop_sequence, arr_seconds, dep_seconds,
+       printf('%02d:%02d:%02d', arr_seconds // 3600,
+              (arr_seconds % 3600) // 60, arr_seconds % 60)
+           AS arrival_time,
+       printf('%02d:%02d:%02d', dep_seconds // 3600,
+              (dep_seconds % 3600) // 60, dep_seconds % 60)
+           AS departure_time,
+       CAST(concat('0x', substr(md5(normalized_name), 1, 15)) AS BIGINT)
+           AS stop_id
+FROM folded ORDER BY trip_id, stop_sequence
+""")
 def gtfs_stop_times_pipeline(spark, sf_dir):
-    """Extraction -> normalized entries -> GTFS stop_times with
-    rollover/fold/sequence windows; rows-only check."""
+    """Extraction -> timed entries (materialized) -> GTFS stop_times.
+
+    Both engines run the W7 rollover / W11 fold / W6 sequence chain on
+    the same materialized entries parquet; Spark reuses the production
+    build_stop_times/build_stops operators end to end.
+    """
     from pdf2gtfs_spark.plans.pipeline import entries_table
 
     entries = entries_table(_synthetic_extracted(spark))
-    stops = build_stops(entries)
-    return build_stop_times(entries, stops)
+    handoff = (entries
+               .where("kind = 'time' AND value IS NOT NULL "
+                      "AND stop_name IS NOT NULL")
+               .withColumn("trip_id",
+                           F.concat_ws("/", "conv_id", "turn_idx",
+                                       "table_id", "entry_id"))
+               .withColumn("normalized_name",
+                           normalize_col(F.col("stop_name")))
+               .select("trip_id", "conv_id", "turn_idx", "table_id",
+                       "entry_id", "kind", "stop_pos", "stop_name",
+                       "normalized_name", "value",
+                       F.coalesce("is_connection", F.lit(False))
+                       .alias("is_connection"))
+               .toPandas())
+    write_aux_pandas("gtfs_entries.parquet", handoff)
+    ent = spark.read.parquet(_ST_PARQUET)
+    stops = build_stops(ent)
+    st = build_stop_times(ent, stops)
+    return (st.select("trip_id",
+                      F.col("stop_sequence").cast("int")
+                      .alias("stop_sequence"),
+                      F.col("arr_seconds").cast("bigint")
+                      .alias("arr_seconds"),
+                      F.col("dep_seconds").cast("bigint")
+                      .alias("dep_seconds"),
+                      "arrival_time", "departure_time", "stop_id")
+            .orderBy("trip_id", "stop_sequence"))

@@ -9,11 +9,18 @@ a synthetic pixel buffer. Everything around the stub — schema, Arrow
 batch shape, mapInPandas signature, partitioning, frame sampling,
 feature extraction — is real and tested.
 
+Oracles: the asset table (asset_id, blob) is materialized once as a
+deterministic parquet (see _aux); DuckDB independently re-decodes the
+binary column via hex() nibble arithmetic — header fields, pixel sums
+and byte histograms are recomputed from the raw bytes in SQL, so every
+multimodal query is value-hash checked, not rows-only.
+
 Scale notes: binary payloads ride the same scan-partition path as the
 text kernel (no shuffle before a stateless map); per-asset work is
 Arrow-batched pandas, never per-row Python over Spark rows; frame
-sampling is pure column algebra (sequence+explode+substring on
-binary), fully JVM-side.
+sampling is pure column algebra (sequence+explode), fully JVM-side.
+The parquet materialization is a test-scale seam standing in for a
+real Iceberg binary column scan.
 """
 
 from __future__ import annotations
@@ -25,12 +32,23 @@ import numpy as np
 import pandas as pd
 
 from pdf2gtfs_spark.operators import register
+from pdf2gtfs_spark.operators._aux import aux_path, write_aux_parquet
 
 FAKE_MAGIC = b"FAKE"
 DECODED_SCHEMA = ("asset_id bigint, format string, width int, height int, "
-                  "n_pixels bigint, mean_intensity double, ok boolean")
-FEATURES_SCHEMA = ("asset_id bigint, n_bytes bigint, "
-                   "byte_histogram array<double>")
+                  "n_pixels bigint, px_sum bigint, ok boolean")
+FEATURES_SCHEMA = "asset_id bigint, bin int, byte_count bigint"
+
+_ASSETS_PARQUET = aux_path("assets.parquet")
+_N_ASSETS = 64
+
+# hex(blob) decoding shared by the oracles: byte i (1-based) of the
+# blob is hex chars (i-1)*2+1 / +2; nibble value via strpos ladder.
+_NIB = "strpos('0123456789ABCDEF', substr(h, {pos}, 1)) - 1"
+_ASSET_BYTES_SQL = f"""
+SELECT asset_id, hex(blob) AS h, octet_length(blob) AS n
+FROM read_parquet('{_ASSETS_PARQUET}')
+"""
 
 
 def encode_fake_asset(asset_id: int, width: int, height: int) -> bytes:
@@ -58,8 +76,8 @@ def decode_asset(blob: bytes) -> tuple[str, int, int, np.ndarray]:
 def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: (asset_id, blob) -> typed decode metadata.
 
-    Vectorized within the batch where possible; undecodable assets
-    degrade to ok=False rows instead of failing the task.
+    Undecodable assets degrade to ok=False rows instead of failing the
+    task. Pixel sums are exact ints so the output is hash-comparable.
     """
     for pdf in batches:
         out = []
@@ -67,71 +85,94 @@ def decode_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             try:
                 fmt, w, h, px = decode_asset(bytes(blob))
                 out.append((int(asset_id), fmt, w, h, len(px),
-                            float(px.mean()) if len(px) else 0.0, True))
+                            int(px.sum()), True))
             except (NotImplementedError, ValueError, struct.error):
-                out.append((int(asset_id), "unknown", 0, 0, 0, 0.0, False))
+                out.append((int(asset_id), "unknown", 0, 0, 0, 0, False))
         yield pd.DataFrame(out, columns=[
             "asset_id", "format", "width", "height", "n_pixels",
-            "mean_intensity", "ok"])
+            "px_sum", "ok"])
 
 
 def features_kernel(batches: Iterator[pd.DataFrame]
                     ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: 16-bin byte histogram per asset (the
-    feature-extraction seat; real embeddings would plug in here)."""
+    """mapInPandas kernel: 16-bin byte histogram per asset, long format
+    (the feature-extraction seat; real embeddings would plug in here).
+    Only occupied bins are emitted (mirrors a SQL GROUP BY)."""
     for pdf in batches:
         rows = []
         for asset_id, blob in zip(pdf["asset_id"], pdf["blob"]):
             arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-            total = max(1.0, float(hist.sum()))
-            rows.append((int(asset_id), len(arr),
-                         list(hist / total)))
-        yield pd.DataFrame(rows, columns=["asset_id", "n_bytes",
-                                          "byte_histogram"])
+            hist = np.bincount(arr >> 4, minlength=16)
+            for b in np.flatnonzero(hist):
+                rows.append((int(asset_id), int(b), int(hist[b])))
+        yield pd.DataFrame(rows, columns=["asset_id", "bin", "byte_count"])
+
+
+def materialize_assets() -> str:
+    """Deterministic binary asset table: 64 FAKE blobs keyed by the
+    first 64 doc ids (identical at every sf — verified in TESTDATA).
+    Written once as the shared Spark/DuckDB input (see module doc)."""
+    import pyarrow as pa
+
+    rows = [(i, encode_fake_asset(i, 16 + i % 16, 8 + i % 8))
+            for i in range(_N_ASSETS)]
+    table = pa.table({
+        "asset_id": pa.array([r[0] for r in rows], pa.int64()),
+        "blob": pa.array([r[1] for r in rows], pa.binary()),
+    })
+    return write_aux_parquet("assets.parquet", table)
 
 
 def _assets_df(spark, sf_dir: str):
-    """Deterministic binary asset table derived from doc ids: blob =
-    FAKE image whose size depends on the id (pure Spark-side synthesis
-    would need the codec in SQL, so assets are built driver-side from
-    the documents key range — small at test scale, would be a real
-    Iceberg binary column in production)."""
-    ids = [r["doc_id"] for r in spark.read.parquet(
-        f"{sf_dir}/documents.parquet").select("doc_id").limit(64).collect()]
-    rows = [(int(i), bytearray(encode_fake_asset(int(i), 16 + int(i) % 16,
-                                                 8 + int(i) % 8)))
-            for i in sorted(ids)]
-    return spark.createDataFrame(rows, "asset_id bigint, blob binary")
+    materialize_assets()
+    return spark.read.parquet(_ASSETS_PARQUET)
 
 
-@register("multimodal_decode")
+@register("multimodal_decode", oracle=f"""
+WITH b AS ({_ASSET_BYTES_SQL}),
+px AS (
+  SELECT asset_id,
+         CAST(sum(({_NIB.format(pos="(i-1)*2+17")}) * 16
+                + ({_NIB.format(pos="(i-1)*2+18")})) AS BIGINT) AS px_sum,
+         CAST(count(*) AS BIGINT) AS n_pixels
+  FROM (SELECT asset_id, h, unnest(generate_series(1, n - 8)) AS i FROM b)
+  GROUP BY asset_id
+)
+SELECT b.asset_id,
+       CASE WHEN substr(h, 1, 8) = '46414B45'
+            THEN 'FAKE' ELSE 'unknown' END AS format,
+       CAST(concat('0x', substr(h, 9, 4)) AS INT) AS width,
+       CAST(concat('0x', substr(h, 13, 4)) AS INT) AS height,
+       px.n_pixels, px.px_sum, TRUE AS ok
+FROM b JOIN px USING (asset_id) ORDER BY asset_id
+""")
 def multimodal_decode(spark, sf_dir):
-    """Decode metadata via the Arrow kernel; rows-only check (the
-    decode stub is the oracle-less seam; pixel math is unit-tested)."""
+    """Decode metadata via the Arrow kernel; DuckDB re-decodes the
+    FAKE header + pixel sum from the raw bytes via hex()."""
     assets = _assets_df(spark, sf_dir)
     return (assets.mapInPandas(decode_kernel, DECODED_SCHEMA)
             .orderBy("asset_id"))
 
 
-@register("multimodal_features")
+@register("multimodal_features", oracle=f"""
+WITH b AS ({_ASSET_BYTES_SQL})
+SELECT asset_id,
+       CAST({_NIB.format(pos="(i-1)*2+1")} AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS byte_count
+FROM (SELECT asset_id, h, unnest(generate_series(1, n)) AS i FROM b)
+GROUP BY asset_id, bin ORDER BY asset_id, bin
+""")
 def multimodal_features(spark, sf_dir):
+    """High-nibble byte histogram, long format (asset_id, bin, count) —
+    hashable scalars; DuckDB recomputes the histogram from hex()."""
     assets = _assets_df(spark, sf_dir)
     return (assets.mapInPandas(features_kernel, FEATURES_SCHEMA)
-            .orderBy("asset_id"))
+            .orderBy("asset_id", "bin"))
 
 
-# frame sampling is pure column algebra -> oracle-checkable: every
-# k-th 64-byte window of the blob hashed. Spark substring() on binary
-# == DuckDB substring on BLOB built with identical bytes? Blob
-# synthesis is driver-side, so the oracle recomputes windows from
-# octet lengths only (structure, not content).
-@register("multimodal_frame_sample", oracle="""
-WITH ids AS (SELECT doc_id AS asset_id FROM documents
-             ORDER BY doc_id LIMIT 64),
-meta AS (SELECT asset_id,
-                8 + (16 + asset_id % 16) * (8 + asset_id % 8) AS n_bytes
-         FROM ids)
+@register("multimodal_frame_sample", oracle=f"""
+WITH meta AS (SELECT asset_id, octet_length(blob) AS n_bytes
+              FROM read_parquet('{_ASSETS_PARQUET}'))
 SELECT asset_id, frame_idx,
        CASE WHEN (frame_idx + 1) * 64 <= n_bytes THEN 64
             ELSE n_bytes - frame_idx * 64 END AS frame_bytes
@@ -143,6 +184,8 @@ WHERE frame_idx % 2 = 0
 ORDER BY asset_id, frame_idx
 """)
 def multimodal_frame_sample(spark, sf_dir):
+    """Every 2nd 64-byte frame window of each blob: pure column algebra
+    (sequence+explode), JVM-side; oracle recomputes from octet lengths."""
     from pyspark.sql import functions as F
 
     assets = _assets_df(spark, sf_dir)

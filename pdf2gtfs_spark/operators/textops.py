@@ -84,8 +84,15 @@ def dedup_prefix_key(spark, sf_dir):
 # --- character-4-gram shingles (shared by jaccard + minhash) -----------------
 
 def _shingles_spark(d: DataFrame) -> DataFrame:
-    """Distinct char-4-gram shingles per doc (1-based positions)."""
-    return (d.select(
+    """Distinct char-4-gram shingles per doc (1-based positions).
+
+    Docs shorter than 4 chars are dropped up front: Spark's
+    sequence(1, len-3) would infer step -1 for len < 4 and emit bogus
+    descending positions while DuckDB's generate_series is empty
+    (divergence flagged in ADVICE r01). The oracle mirrors the WHERE.
+    """
+    return (d.where(F.length("text") >= 4)
+            .select(
                 "doc_id",
                 F.explode(F.sequence(F.lit(1),
                                      F.length("text") - 3)).alias("pos"))
@@ -99,7 +106,7 @@ _SHINGLES_SQL = """
 SELECT DISTINCT doc_id, substr(text, pos, 4) AS shingle
 FROM (SELECT doc_id, text,
              unnest(generate_series(1, length(text) - 3)) AS pos
-      FROM documents)
+      FROM documents WHERE length(text) >= 4)
 """
 
 
@@ -248,21 +255,28 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """)
 def simhash_fingerprints(spark, sf_dir):
+    """One-pass bit-weight aggregation: a single groupBy(doc_id) with 60
+    conditional-sum expressions over the token-hash column. No row
+    multiplication before the doc-grain shuffle (the r01 version
+    crossJoined every token with 60 bit ids — a 60x blowup flagged as a
+    scale-killer); partial aggregation collapses each map partition to
+    one 60-column row per doc before shuffling."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(_tokens_spark(F.lower(F.col("text")))).alias("tok"))
-    bs = spark.range(60).select(F.col("id").cast("int").alias("b"))
-    bits = (toks.withColumn("h", _md5int_spark(F.col("tok")))
-            .crossJoin(F.broadcast(bs))
-            .groupBy("doc_id", "b")
-            .agg(F.sum(F.when(
-                F.expr("(h >> b) & 1") == 1,
-                1).otherwise(-1)).alias("weight")))
-    return (bits.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("weight") > 0,
-                              F.expr("shiftleft(cast(1 as bigint), b)"))
-                       .otherwise(0)).cast("bigint").alias("simhash"))
+    hashed = toks.select("doc_id", _md5int_spark(F.col("tok")).alias("h"))
+    weights = [
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
+        .alias(f"w{b}")
+        for b in range(60)]
+    per_doc = hashed.groupBy("doc_id").agg(*weights)
+    simhash = F.lit(0).cast("bigint")
+    for b in range(60):
+        simhash = simhash + F.when(F.col(f"w{b}") > 0,
+                                   F.lit(1 << b).cast("bigint")).otherwise(0)
+    return (per_doc.select("doc_id",
+                           simhash.cast("bigint").alias("simhash"))
             .orderBy("doc_id"))
 
 

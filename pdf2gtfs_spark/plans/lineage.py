@@ -73,6 +73,9 @@ def run_with_checkpoint(spark, transcripts_df, out_dir: str,
             part.select("conv_id", "turn_idx", "text"), cfg,
             num_partitions=num_partitions)
         extracted = extracted.withColumn("bucket", bucket_col(n_buckets))
+        # persist: the write and the metrics agg are two actions — without
+        # it the kernel (the expensive stage) would run twice per group
+        extracted = extracted.persist()
         # commit output first, lineage second: a crash between the two
         # re-processes the group idempotently (same bucket partition is
         # overwritten on retry via dynamic partition overwrite)
@@ -92,5 +95,6 @@ def run_with_checkpoint(spark, transcripts_df, out_dir: str,
                   time.time()) for b in missing]
         spark.createDataFrame(rows, LINEAGE_COLUMNS).write.mode(
             "append").parquet(lineage_dir)
+        extracted.unpersist()
         processed += group
     return processed

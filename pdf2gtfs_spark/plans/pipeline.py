@@ -38,7 +38,8 @@ EXTRACT_SCHEMA = (
     "entries array<struct<entry_id:int,kind:string,header_text:string,"
     "route_name:string,annotations:array<string>,days:array<string>,"
     "repeat_intervals:array<int>,stop_pos:int,stop_row_idx:int,"
-    "stop_name:string,stop_annot:string,value:string>>, "
+    "stop_name:string,stop_annot:string,is_connection:boolean,"
+    "value:string>>, "
     "stops array<struct<stop_pos:int,row_idx:int,stop_name:string,"
     "stop_annot:string,is_connection:boolean>>"
 )
@@ -46,7 +47,7 @@ EXTRACT_SCHEMA = (
 _ENTRY_STRUCT_COLS = [
     "entry_id", "kind", "header_text", "route_name", "annotations",
     "days", "repeat_intervals", "stop_pos", "stop_row_idx",
-    "stop_name", "stop_annot", "value"]
+    "stop_name", "stop_annot", "is_connection", "value"]
 _STOP_STRUCT_COLS = ["stop_pos", "row_idx", "stop_name", "stop_annot",
                      "is_connection"]
 _CELL_STRUCT_COLS = ["row_idx", "col_idx", "text", "row_type", "col_type",

@@ -95,6 +95,8 @@ def load_fixture_grids(cfg: ExtractConfig = DEFAULT_CONFIG
                        ) -> list[tuple[str, list[list[str]], list[int]]]:
     """(name, grid, header_rows) for each non-empty reference fixture."""
     out = []
+    # vag_1/00_00.csv is intentionally absent: the reference fixture file
+    # is empty (0 bytes), so there is nothing to encode or compare.
     for rel in ["vag_1/01_00.csv", "kvv_s1/01_00.csv"]:
         p = REFERENCE_FIXTURE_DIR / rel
         if not p.exists():

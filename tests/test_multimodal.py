@@ -41,9 +41,17 @@ class TestKernels:
 
     def test_features_kernel_histogram(self):
         out = next(features_kernel(iter([self._batch()])))
-        h = out["byte_histogram"].iloc[0]
-        assert len(h) == 16
-        assert abs(sum(h) - 1.0) < 1e-9
+        one = out[out["asset_id"] == 0]
+        # long format: occupied bins only, counts sum to blob length
+        assert one["byte_count"].sum() == 8 + 128
+        assert set(one["bin"]).issubset(set(range(16)))
+        # independent recount
+        blob = encode_fake_asset(0, 16, 8)
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        expected = np.bincount(arr >> 4, minlength=16)
+        got = dict(zip(one["bin"], one["byte_count"]))
+        for b in range(16):
+            assert got.get(b, 0) == expected[b]
 
 
 class TestSparkPlumbing:
@@ -57,5 +65,11 @@ class TestSparkPlumbing:
     def test_features_query(self, spark):
         from pdf2gtfs_spark.operators.multimodal import multimodal_features
         rows = multimodal_features(spark, "/root/testdata/sf0.001").collect()
-        assert len(rows) == 64
-        assert all(len(r["byte_histogram"]) == 16 for r in rows)
+        per_asset = {}
+        for r in rows:
+            per_asset[r["asset_id"]] = (
+                per_asset.get(r["asset_id"], 0) + r["byte_count"])
+        assert len(per_asset) == 64
+        # counts sum to blob size: 8-byte header + w*h pixels
+        for i, total in per_asset.items():
+            assert total == 8 + (16 + i % 16) * (8 + i % 8)
