@@ -73,6 +73,17 @@ class ExtractConfig:
     min_row_count: int = 5                 # :375
     min_connection_count: int = 1
     repeat_strategy: str = "cycle"         # "cycle" | "mean"
+    # --- new (default) extraction path knobs -------------------------
+    # which kernel to run per turn: the reference's current engine
+    # ("new": probabilistic cell typing + table expansion,
+    # table/table.py) or the pre-rewrite one ("legacy",
+    # --use_legacy_extraction). Legacy stays our default so the golden
+    # CSV fixtures (which encode legacy semantics) remain byte-exact.
+    extraction_path: str = "legacy"        # "legacy" | "new"
+    table_expansion_directions: str = "NW"  # config.template.yaml:271
+    split_orientations: str = "VH"          # config.template.yaml:260
+    extra_greedy: bool = True               # config.template.yaml:278
+    merge_split_tables: bool = False        # config.template.yaml:318
 
 
 DEFAULT_CONFIG = ExtractConfig()

@@ -1,0 +1,162 @@
+"""Probabilistic cell types for the new (default) extraction path.
+
+Reference: /root/reference/src/pdf2gtfs/datastructures/table/celltype.py.
+The reference attaches a ``CellType`` object per cell holding a dict of
+type->probability; here a turn's cells are typed in one vectorized pass
+producing a (n_cells, N_TYPES) probability matrix. Dict-insertion-order
+argmax semantics (celltype.py:30-36: Python ``max`` returns the first
+maximal item) are reproduced with explicit per-case priority ranks.
+
+Only text-content ("absolute") indicators live here; the
+neighbor-relative ("relative") indicators need the grid and live in
+``table_grid.py``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pdf2gtfs_spark.kernel.timefmt import match_times
+
+# Type ids (order is arbitrary but fixed; ties are broken by the rank
+# arrays below, never by this order).
+TIME = 0
+TIME_ANNOT = 1
+STOP = 2
+STOP_ANNOT = 3
+DAYS = 4
+REPEAT_IDENT = 5
+REPEAT_VALUE = 6
+ROUTE_ANNOT_IDENT = 7
+ROUTE_ANNOT_VALUE = 8
+ENTRY_ANNOT_IDENT = 9
+ENTRY_ANNOT_VALUE = 10
+LEGEND_IDENT = 11
+LEGEND_VALUE = 12
+OTHER = 13
+EMPTY = 14
+N_TYPES = 15
+
+TYPE_NAMES = [
+    "Time", "TimeAnnot", "Stop", "StopAnnot", "Days", "RepeatIdent",
+    "RepeatValue", "RouteAnnotIdent", "RouteAnnotValue", "EntryAnnotIdent",
+    "EntryAnnotValue", "LegendIdent", "LegendValue", "Other", "Empty",
+]
+
+# ABS_INDICATORS dict insertion order (celltype.py:281-290); argmax tie
+# order for cells where at least one absolute indicator fired.
+ABS_ORDER = [TIME, DAYS, REPEAT_IDENT, STOP_ANNOT, ROUTE_ANNOT_IDENT,
+             ENTRY_ANNOT_IDENT, LEGEND_IDENT, OTHER]
+# ABS_FALLBACK order (celltype.py:292-294) + Other; argmax tie order for
+# cells where no indicator fired.
+FALLBACK_ORDER = [STOP, ROUTE_ANNOT_VALUE, ENTRY_ANNOT_VALUE, TIME_ANNOT,
+                  LEGEND_VALUE, REPEAT_VALUE, DAYS, OTHER]
+
+
+def _rank_vector(order: list[int]) -> np.ndarray:
+    r = np.full(N_TYPES, N_TYPES + 1, dtype=np.int64)
+    for i, t in enumerate(order):
+        r[t] = i
+    return r
+
+ABS_RANK = _rank_vector(ABS_ORDER)
+FALLBACK_RANK = _rank_vector(FALLBACK_ORDER)
+
+# Hyphen-like characters (celltype.py:211-231, via jkorpela.fi/dashes).
+HYPHEN_LIKE = ("[-­־᠆‐‑‒–—"
+               "―⁻₋−⸺⸻﹘﹣－]")
+
+_REPEAT_VALUE_RES = [
+    re.compile(r"^\d+$"),
+    re.compile(r"^\d+\s?" + HYPHEN_LIKE + r"\s?\d+$"),
+    re.compile(r"\d+\s?,\s?\d+$"),
+]
+_LEGEND_RE = re.compile(r"^\S+\s?[:=]\s?\S+$")
+
+
+def is_repeat_value_text(text: str) -> bool:
+    """celltype.py:234-251 (incl. the documented quirks: '3 - 8' is a
+    repeat value, '3  -8' is not)."""
+    return any(rx.match(text) for rx in _REPEAT_VALUE_RES)
+
+
+def is_legend_text(text: str) -> bool:
+    """celltype.py:254-261."""
+    return bool(_LEGEND_RE.match(text))
+
+
+def repeat_value_mask(texts: pd.Series) -> np.ndarray:
+    m = np.zeros(len(texts), dtype=bool)
+    for rx in _REPEAT_VALUE_RES:
+        m |= texts.str.match(rx).to_numpy()
+    return m
+
+
+class TypeMatchers:
+    """Vectorized absolute indicators for one config."""
+
+    def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG) -> None:
+        self.cfg = cfg
+        self.header_keys = frozenset(k.lower() for k in cfg.header_values)
+        self.negative_header = frozenset(
+            v.lower() for v in cfg.negative_header_values)
+        # collapse() of the (start, end) pairs (celltype.py:284)
+        self.repeat_idents = frozenset(
+            w.lower() for pair in cfg.repeat_identifier for w in pair)
+        self.stop_annots = frozenset(
+            v.lower() for v in (tuple(cfg.arrival_identifier)
+                                + tuple(cfg.departure_identifier)))
+        self.route_idents = frozenset(
+            v.lower() for v in cfg.route_identifier)
+        self.annot_idents = frozenset(
+            v.lower() for v in cfg.annot_identifier)
+
+    def guess(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized CellType.guess_type (celltype.py:48-81).
+
+        Returns (P, fallback) where P is (n, N_TYPES) with NaN for
+        types absent from possible_types, probabilities rounded to 3
+        decimals exactly like the reference, and fallback marks cells
+        where no absolute indicator fired (selects the tie-break rank).
+        """
+        n = len(texts)
+        lower = texts.str.lower()
+        ind = np.zeros((n, N_TYPES), dtype=np.float64)
+        is_time, _ = match_times(texts, self.cfg.time_format)
+        ind[:, TIME] = is_time.to_numpy()
+        ind[:, DAYS] = lower.isin(self.header_keys).to_numpy()
+        ind[:, REPEAT_IDENT] = lower.isin(self.repeat_idents).to_numpy()
+        ind[:, STOP_ANNOT] = lower.isin(self.stop_annots).to_numpy()
+        ind[:, ROUTE_ANNOT_IDENT] = lower.isin(self.route_idents).to_numpy()
+        ind[:, ENTRY_ANNOT_IDENT] = lower.isin(self.annot_idents).to_numpy()
+        ind[:, LEGEND_IDENT] = texts.str.match(_LEGEND_RE).to_numpy()
+
+        fired = ind.sum(axis=1) > 0
+        P = np.full((n, N_TYPES), np.nan)
+        # indicator case: fired types get 1, Other gets 0.5
+        P[fired] = np.where(ind[fired] > 0, 1.0, np.nan)
+        P[fired, OTHER] = 0.5
+        # fallback case: every ABS_FALLBACK type 1, Other 2
+        fb = ~fired
+        for t in FALLBACK_ORDER:
+            P[fb, t] = 1.0
+        P[fb, OTHER] = 2.0
+        div = np.nansum(P, axis=1, keepdims=True)
+        P = np.round(P / div, 3)
+        return P, fb
+
+
+def strict_guess(P: np.ndarray, fallback: np.ndarray) -> np.ndarray:
+    """Argmax over possible_types with dict-insertion-order ties.
+
+    P values are multiples of 0.001 (reference rounds to 3 decimals),
+    so scaling by 1e5 dominates any rank in [0, N_TYPES].
+    """
+    rank = np.where(fallback[:, None], FALLBACK_RANK[None, :],
+                    ABS_RANK[None, :])
+    score = np.where(np.isnan(P), -np.inf, P * 1e5 - rank)
+    return np.argmax(score, axis=1)

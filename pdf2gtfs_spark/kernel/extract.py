@@ -798,7 +798,13 @@ def _process_table(table_id: int, a: _TableAnalysis,
 
 def extract_turn(payload: str,
                  cfg: ExtractConfig = DEFAULT_CONFIG) -> TurnResult:
-    """Run the full extraction on one turn payload."""
+    """Run the full extraction on one turn payload.
+
+    Dispatches on ``cfg.extraction_path``: "legacy" runs the window
+    pipeline below (the golden-fixture path); "new" runs the
+    reference's default engine (probabilistic cell typing + table
+    expansion, kernel/newpath.py).
+    """
     try:
         page, chars = decode_payload(payload)
     except MalformedPayload:
@@ -810,6 +816,12 @@ def extract_turn(payload: str,
     fields = chars_to_fields(chars, cfg)
     result.n_fields = len(fields)
     if fields.empty:
+        return result
+    if cfg.extraction_path == "new":
+        from pdf2gtfs_spark.kernel.newpath import tables_from_fields
+
+        for table_id, tt in enumerate(tables_from_fields(fields, cfg)):
+            result.tables.append(tt.to_result(table_id, cfg))
         return result
     m = _matchers(cfg)
     fields = fields.copy()

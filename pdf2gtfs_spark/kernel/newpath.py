@@ -1,0 +1,833 @@
+"""New (default) extraction path: neighbor-relative type inference,
+cleanup, timetable normalization and CSV export over ``table_grid``.
+
+Reference seats (under /root/reference/src/pdf2gtfs/):
+- relative indicators       datastructures/table/celltype.py:297-833
+- inference sweep           table.py:735-746 (column-major, stateful)
+- cleanup                   table.py:748-856
+- to_timetable              table.py:624-733
+- CSV export                table.py:438-462
+- page orchestration        reader.py:150-318
+
+The sweep is deliberately sequential per cell (the reference's results
+depend on already-inferred strict types of earlier cells); everything
+it consults (strict types, membership, first-non-empty neighbors) is
+maintained as numpy arrays so each query is an O(row/col) slice, and
+the whole sweep stays inside the per-turn Arrow kernel.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pdf2gtfs_spark.kernel import celltypes as ct
+from pdf2gtfs_spark.kernel.celltypes import (
+    DAYS, EMPTY, ENTRY_ANNOT_IDENT, ENTRY_ANNOT_VALUE, LEGEND_IDENT,
+    LEGEND_VALUE, OTHER, REPEAT_IDENT, REPEAT_VALUE, ROUTE_ANNOT_IDENT,
+    ROUTE_ANNOT_VALUE, STOP, STOP_ANNOT, TIME, TIME_ANNOT, TYPE_NAMES,
+    is_repeat_value_text,
+)
+from pdf2gtfs_spark.kernel.extract import (
+    ENTRY_COLUMNS, STOP_COLUMNS, TableResult, bbox_is_indented,
+    detect_connections, get_stop_base_name, interval_str_to_int_list,
+    text_starts_with_delimiter,
+)
+from pdf2gtfs_spark.kernel.table_grid import (
+    E, Grid, H, N, S, V, W, _is_olap,
+)
+
+_DIRS = (N, S, W, E)
+_STEP = {N: (-1, 0), S: (1, 0), W: (0, -1), E: (0, 1)}
+
+
+class Typer:
+    """Type-inference state for one Grid (mirrors CellType instances)."""
+
+    def __init__(self, grid: Grid) -> None:
+        self.g = grid
+        self.s = grid.store
+        self.refresh()
+
+    def refresh(self) -> None:
+        g, s = self.g, self.s
+        R, C = g.n_rows, g.n_cols
+        self.strict = np.empty((R, C), dtype=np.int64)
+        for r in range(R):
+            for c in range(C):
+                self.strict[r, c] = s.strict_type(g.cells[r][c])
+        self.empty = np.array(
+            [[s.is_empty[i] for i in row] for row in g.cells], dtype=bool)
+
+    # -- primitive queries -------------------------------------------------
+
+    def member(self, r: int, c: int, t: int) -> bool:
+        return not math.isnan(self.s.P[self.g.cells[r][c]][t])
+
+    def direct(self, r: int, c: int, d: int) -> Optional[tuple]:
+        dr, dc = _STEP[d]
+        nr, nc = r + dr, c + dc
+        if 0 <= nr < self.g.n_rows and 0 <= nc < self.g.n_cols:
+            return nr, nc
+        return None
+
+    def first_nonempty(self, r: int, c: int, d: int) -> Optional[tuple]:
+        pos = self.direct(r, c, d)
+        while pos is not None and self.empty[pos]:
+            pos = self.direct(pos[0], pos[1], d)
+        return pos
+
+    def row_has(self, r: int, t: int) -> bool:
+        return bool((self.strict[r, :] == t).any())
+
+    def col_has(self, c: int, t: int) -> bool:
+        return bool((self.strict[:, c] == t).any())
+
+    def neighbor_has(self, r: int, c: int, t: int, direct: bool = False,
+                     dirs: tuple = _DIRS) -> bool:
+        """cell_neighbor_has_type (celltype.py:338-354): strict check;
+        direct=True looks at adjacent slots (EmptyCells count and fail),
+        direct=False skips EmptyCells."""
+        for d in dirs:
+            pos = (self.direct(r, c, d) if direct
+                   else self.first_nonempty(r, c, d))
+            if pos is not None and self.strict[pos] == t:
+                return True
+        return False
+
+    def is_between(self, r: int, c: int, t: int) -> bool:
+        """cell_is_between_type (celltype.py:372-392): DIRECT neighbors
+        on either axis both strictly of type t (the docstring claims
+        empties are skipped; the code passes allow_empty=True)."""
+        for d_lo, d_hi in ((N, S), (W, E)):
+            lo, hi = self.direct(r, c, d_lo), self.direct(r, c, d_hi)
+            if (lo is not None and self.strict[lo] == t
+                    and hi is not None and self.strict[hi] == t):
+                return True
+        return False
+
+    # -- series helpers (celltype.py:436-704) -------------------------------
+
+    def _series(self, r: int, c: int, o: int) -> list[tuple]:
+        if o == H:
+            return [(r, k) for k in range(self.g.n_cols)]
+        return [(k, c) for k in range(self.g.n_rows)]
+
+    def _normal_series_has_time(self, r: int, c: int, o: int) -> bool:
+        """series_contains_type(cell, o.normal, Time) for a member of an
+        o-series: o=H -> check the cell's column, o=V -> its row."""
+        return self.col_has(c, TIME) if o == H else self.row_has(r, TIME)
+
+    def time_aligned_non_empty(self, r: int, c: int, o: int,
+                               cell_type: int,
+                               neighbor_type: Optional[int]) -> bool:
+        """time_aligned_cells_are_non_empty (celltype.py:436-480)."""
+        need = 2 if neighbor_type is not None else 1
+        types = [TIME] + ([neighbor_type] if neighbor_type is not None
+                          else [])
+        n_dirs = (W, E) if o == V else (N, S)
+        for (rr, cc) in self._series(r, c, o):
+            if not self._normal_series_has_time(rr, cc, o):
+                continue
+            if not self.empty[rr, cc]:
+                if not any(self.member(rr, cc, t) for t in [cell_type]):
+                    return False
+                continue
+            correct = 0
+            for d in n_dirs:
+                pos = self.first_nonempty(rr, cc, d)
+                if pos is not None and any(
+                        self.member(pos[0], pos[1], t) for t in types):
+                    correct += 1
+            if correct < need:
+                return False
+        return True
+
+    def series_is_aligned(self, r: int, c: int, o: int,
+                          max_disp: float = 0.5) -> bool:
+        """series_is_aligned (celltype.py:483-504); EmptyCells use their
+        derived bbox."""
+        coords = []
+        for (rr, cc) in self._series(r, c, o):
+            if not self._normal_series_has_time(rr, cc, o):
+                continue
+            b = self.g.cell_bbox(rr, cc)
+            if b is None:
+                continue
+            coords.append(b[0] if o == V else b[1])
+        if not coords:
+            return True
+        return max_disp >= (max(coords) - min(coords))
+
+    def _aligned_texts(self, r: int, c: int, o: int) -> list[str]:
+        out = []
+        for (rr, cc) in self._series(r, c, o):
+            if o == V and not self.row_has(rr, TIME):
+                continue
+            if o == H and not self.col_has(cc, TIME):
+                continue
+            if self.empty[rr, cc]:
+                continue
+            out.append(self.s.text[self.g.cells[rr][cc]])
+        return out
+
+    def aligned_avg_len(self, r, c, o) -> float:
+        texts = self._aligned_texts(r, c, o)
+        if not texts:
+            return 1.0
+        return sum(map(len, texts)) / len(texts)
+
+    def aligned_letter_ratio(self, r, c, o) -> float:
+        texts = self._aligned_texts(r, c, o)
+        total = sum(map(len, texts))
+        if total == 0:
+            return 0.0
+        letters = sum(ch.isalpha() or ch == " "
+                      for t in texts for ch in t)
+        return letters / total
+
+    # -- relative indicators (celltype.py:507-833) ---------------------------
+
+    def rel_stop(self, r: int, c: int) -> float:
+        if self.is_between(r, c, TIME):
+            return 0.0
+        col_time = self.col_has(c, TIME)
+        row_time = self.row_has(r, TIME)
+        if (col_time + row_time) % 2 == 0:
+            return 0.0
+        o = H if col_time else V
+        mean_len = self.aligned_avg_len(r, c, o)
+        if math.floor(math.log2(mean_len)) \
+                < self.s.cfg.stop_min_mean_normed_length:
+            return 0.0
+        if self.aligned_letter_ratio(r, c, o) < self.s.cfg.stop_letter_ratio:
+            return 0.0
+        score = 1.0
+        if col_time:
+            if not self.time_aligned_non_empty(r, c, H, STOP, STOP):
+                return 0.0
+            score += self.series_is_aligned(r, c, H)
+            score += self.row_has(r, STOP)
+            score += self.neighbor_has(r, c, STOP_ANNOT, dirs=(N, S))
+        else:
+            if not self.time_aligned_non_empty(r, c, V, STOP, STOP):
+                return 0.0
+            score += self.series_is_aligned(r, c, V)
+            score += self.col_has(c, STOP)
+            score += self.neighbor_has(r, c, STOP_ANNOT, dirs=(W, E))
+        return score
+
+    def rel_stop_annot(self, r: int, c: int) -> float:
+        col_time = self.col_has(c, TIME)
+        row_time = self.row_has(r, TIME)
+        if (col_time + row_time) % 2 == 0:
+            return 0.0
+        score = 1.0
+        if col_time:
+            if not self.time_aligned_non_empty(r, c, H, STOP_ANNOT, None):
+                return 0.0
+            score += self.neighbor_has(r, c, STOP, dirs=(N, S))
+            score += self.neighbor_has(r, c, STOP_ANNOT, dirs=(W, E))
+        else:
+            if not self.time_aligned_non_empty(r, c, V, STOP_ANNOT, None):
+                return 0.0
+            score += self.neighbor_has(r, c, STOP, dirs=(W, E))
+            score += self.neighbor_has(r, c, STOP_ANNOT, dirs=(N, S))
+        return score
+
+    def rel_time_annot(self, r: int, c: int) -> float:
+        if not self.neighbor_has(r, c, TIME, direct=True):
+            return 0.0
+        sizes = []
+        for d in _DIRS:
+            pos = self.first_nonempty(r, c, d)
+            if pos is not None and self.strict[pos] == TIME:
+                sizes.append(self.s.fontsize[self.g.cells[pos[0]][pos[1]]])
+        if not sizes:
+            return 0.0
+        own = self.s.fontsize[self.g.cells[r][c]]
+        return float(own <= sum(sizes) / len(sizes))
+
+    def rel_repeat_ident(self, r: int, c: int) -> float:
+        if not self.is_between(r, c, TIME):
+            return 0.0
+        return 1.0 + self.neighbor_has(r, c, REPEAT_VALUE, direct=True)
+
+    def rel_repeat_value(self, r: int, c: int) -> float:
+        if not is_repeat_value_text(self.s.text[self.g.cells[r][c]]):
+            return 0.0
+        avg = (self.is_between(r, c, TIME)
+               + self.is_between(r, c, REPEAT_IDENT)) / 2
+        return (avg == 1.0) * 2.0
+
+    def rel_entry_annot_value(self, r: int, c: int) -> float:
+        mod = 0
+        if self.col_has(c, ENTRY_ANNOT_IDENT):
+            mod += self.row_has(r, TIME) - self.col_has(c, STOP)
+        elif self.row_has(r, ENTRY_ANNOT_IDENT):
+            mod += self.col_has(c, TIME) - self.row_has(r, STOP)
+        return mod * 2
+
+    def rel_route_annot_value(self, r: int, c: int) -> float:
+        col_time = self.col_has(c, TIME)
+        row_time = self.row_has(r, TIME)
+        if (col_time + row_time) % 2 == 0:
+            return 0.0
+        if col_time and not self.row_has(r, ROUTE_ANNOT_IDENT):
+            return 0.0
+        if row_time and not self.col_has(c, ROUTE_ANNOT_IDENT):
+            return 0.0
+        o = H if col_time else V
+        return float(math.floor(math.log2(self.aligned_avg_len(r, c, o)))
+                     < 3)
+
+    def rel_time(self, r: int, c: int) -> float:
+        return float(self.neighbor_has(r, c, TIME))
+
+    # Days (O5 longest-substring-first; celltype.py:730-818) ---------------
+
+    def _part_of_days(self, words: list[str], text: str
+                      ) -> Optional[tuple]:
+        """part_of_days_indexes: the longest (then right-most) word
+        sub-sequence matching text, as char-index (start, end) over the
+        full days string."""
+        n = len(words)
+        for length in range(n, 0, -1):
+            for s0 in range(n - length, -1, -1):
+                if " ".join(words[s0:s0 + length]) == text:
+                    start = sum(len(w) + 1 for w in words[:s0])
+                    end = sum(len(w) + 1 for w in words[:s0 + length]) - 1
+                    return start, end
+        return None
+
+    def rel_days(self, r: int, c: int) -> float:
+        cfg = self.s.cfg
+        text = self.s.text[self.g.cells[r][c]].lower()
+        if text in {v.lower() for v in cfg.negative_header_values}:
+            return 0.0
+        headers = [k.lower() for k in cfg.header_values]
+        if text in headers:
+            return 10.0
+        candidates = []
+        for days in headers:
+            idx = self._part_of_days(days.split(), text)
+            if idx is not None:
+                candidates.append((days, idx[0], idx[1]))
+        if not candidates:
+            return 0.0
+        for days, start, end in candidates:
+            words = days.split()
+            if not self._days_chain(r, c, words, start, W):
+                continue
+            if not self._days_chain(r, c, words, end, E,
+                                    total=len(days)):
+                continue
+            return 10.0
+        return 0.0
+
+    def _days_chain(self, r: int, c: int, words: list[str],
+                    pos: int, d: int, total: Optional[int] = None) -> bool:
+        """check_left_neighbors / check_right_neighbors: non-empty
+        neighbors must tile the rest of the days string exactly."""
+        cur = (r, c)
+        if d == W:
+            while pos > 0:
+                cur = self.first_nonempty(cur[0], cur[1], W)
+                if cur is None or not self.member(cur[0], cur[1], DAYS):
+                    return False
+                t = self.s.text[self.g.cells[cur[0]][cur[1]]].lower()
+                idx = self._part_of_days(words, t)
+                if idx is None or idx[1] != pos - 1:
+                    return False
+                pos = idx[0]
+            return True
+        while pos < total - 1:
+            cur = self.first_nonempty(cur[0], cur[1], E)
+            if cur is None or not self.member(cur[0], cur[1], DAYS):
+                return False
+            t = self.s.text[self.g.cells[cur[0]][cur[1]]].lower()
+            idx = self._part_of_days(words, t)
+            if idx is None or idx[0] != pos + 1:
+                return False
+            pos = idx[1]
+        return True
+
+    # -- the sweep (table.py:735-746, celltype.py:83-106) -------------------
+
+    _REL = {
+        TIME: rel_time, DAYS: rel_days, STOP: rel_stop,
+        STOP_ANNOT: rel_stop_annot, TIME_ANNOT: rel_time_annot,
+        ENTRY_ANNOT_VALUE: rel_entry_annot_value,
+        ROUTE_ANNOT_VALUE: rel_route_annot_value,
+        REPEAT_IDENT: rel_repeat_ident, REPEAT_VALUE: rel_repeat_value,
+    }
+
+    def infer_cell(self, r: int, c: int) -> None:
+        i = self.g.cells[r][c]
+        s = self.s
+        if s.is_empty[i]:
+            return
+        order = (ct.FALLBACK_ORDER if s.fallback[i] else ct.ABS_ORDER)
+        best_t, best_v = None, -math.inf
+        for t in order:
+            p = s.P[i][t]
+            if math.isnan(p):
+                continue
+            if t == OTHER:
+                mult = 0.1
+            elif t in self._REL:
+                mult = self._REL[t](self, r, c)
+            else:
+                mult = p
+            if not mult:
+                continue
+            score = mult * p
+            if score > best_v:
+                best_t, best_v = t, score
+        if best_t is None:
+            best_t = OTHER
+        s.inferred[i] = best_t
+        self.strict[r, c] = best_t
+
+    def infer_all(self) -> None:
+        """Column-major sweep; each cell sees earlier cells' inferred
+        types (order-dependence is reference behavior)."""
+        for c in range(self.g.n_cols):
+            for r in range(self.g.n_rows):
+                self.infer_cell(r, c)
+
+
+# ---------------------------------------------------------------------------
+# cleanup (table.py:748-856)
+# ---------------------------------------------------------------------------
+
+def find_stops(ty: Typer) -> tuple[int, list[tuple[int, tuple]]]:
+    """find_stops (table.py:713-733): (orientation, [(series_idx, (r,c))])."""
+    g = ty.g
+
+    def _find(o: int) -> list[tuple]:
+        outer = g.n_cols if o == V else g.n_rows
+        for k in range(outer):
+            series = ([(r, (r, k)) for r in range(g.n_rows)] if o == V
+                      else [(c, (k, c)) for c in range(g.n_cols)])
+            hits = [(i, pos) for i, pos in series
+                    if ty.strict[pos] == STOP]
+            if hits:
+                return hits
+        return []
+
+    v_stops = _find(V)
+    h_stops = _find(H)
+    return (V, v_stops) if len(v_stops) > len(h_stops) else (H, h_stops)
+
+
+def merge_stops(ty: Typer, o: int, stops: list[tuple]) -> None:
+    """Consecutive stop cols/rows merge (table.py:759-776)."""
+    g, s = ty.g, ty.s
+    while True:
+        if not stops:
+            return
+        ok = True
+        for _, (r, c) in stops:
+            pos = ty.direct(r, c, E if o == V else S)
+            if pos is None or ty.strict[pos] not in (STOP, EMPTY):
+                ok = False
+                break
+        if not ok:
+            return
+        if o == V:
+            c = stops[0][1][1]
+            for r in range(g.n_rows):
+                s.merge_into(g.cells[r][c], g.cells[r][c + 1])
+            for row in g.cells:
+                row.pop(c + 1)
+        else:
+            r = stops[0][1][0]
+            for c in range(g.n_cols):
+                s.merge_into(g.cells[r][c], g.cells[r + 1][c])
+            g.cells.pop(r + 1)
+        ty.refresh()
+
+
+def fix_stop_abbreviations(ty: Typer, stops: list[tuple]) -> None:
+    """fix_stop_abbreviation walk (table.py:58-66, 778-786)."""
+    if not stops:
+        return
+    g, s = ty.g, ty.s
+    cells = [g.cells[r][c] for _, (r, c) in stops]
+    ref = cells[0]
+    for i in cells[1:]:
+        starts_delim = text_starts_with_delimiter(s.text[i])
+        indented = bbox_is_indented(s.x0[ref], s.x0[i])
+        if not starts_delim and not indented:
+            ref = i
+            continue
+        text = s.text[i][1:].strip() if starts_delim else s.text[i]
+        s.text[i] = get_stop_base_name(s.text[ref]) + text
+
+
+def merge_consecutive_days(ty: Typer) -> None:
+    """W10 (table.py:787-802): absorb following Days cells."""
+    g, s = ty.g, ty.s
+    headers = {k.lower() for k in s.cfg.header_values}
+    for r in range(g.n_rows):
+        for c in range(g.n_cols):
+            if ty.strict[r, c] != DAYS or ty.empty[r, c]:
+                continue
+            i = g.cells[r][c]
+            while s.text[i].lower() not in headers:
+                pos = ty.first_nonempty(r, c, E)
+                if pos is None or ty.strict[pos] != DAYS:
+                    break
+                j = g.cells[pos[0]][pos[1]]
+                s.text[i] += " " + s.text[j]
+                g.cells[pos[0]][pos[1]] = s.add_empty()
+                ty.strict[pos] = EMPTY
+                ty.empty[pos] = True
+
+
+def days_rows(ty: Typer) -> list[list[tuple]]:
+    """of_type(T.Days, H): per-row lists of strict-Days positions."""
+    out = []
+    for r in range(ty.g.n_rows):
+        row = [(r, c) for c in range(ty.g.n_cols)
+               if ty.strict[r, c] == DAYS]
+        if row:
+            out.append(row)
+    return out
+
+
+def remove_duplicate_days(ty: Typer, ref: Optional["TypedTable"]) -> None:
+    """remove_duplicate_days(H, ref) (table.py:810-856)."""
+    if ref is None:
+        return
+    g, s = ty.g, ty.s
+    days = days_rows(ty)
+    if len(days) == 1:
+        return
+    ref_days_list = days_rows(ref.typer)
+    ref_days = ref_days_list[0] if ref_days_list else []
+    if not days:
+        if ref_days and g.potential is not None:
+            g.potential += [s.duplicate(ref.grid.cells[r][c])
+                            for (r, c) in ref_days]
+            g.expand_all()
+            # the reference does NOT re-infer here; the new cells keep
+            # their guessed types (table.py:836-840)
+            ty.refresh()
+        return
+    if not ref_days:
+        return
+    r0, c0 = ref_days[0]
+    first = r0 < ref.grid.n_rows / 2
+    invalid = days[1:] if first else days[:-1]
+    for row in invalid:
+        for (r, c) in row:
+            i = g.cells[r][c]
+            s.P[i][DAYS] = math.nan
+            s.inferred[i] = None
+            ty.infer_cell(r, c)
+
+
+class TypedTable:
+    """One table after expansion: grid + inference state."""
+
+    def __init__(self, grid: Grid) -> None:
+        self.grid = grid
+        self.typer = Typer(grid)
+
+    def cleanup(self, ref: Optional["TypedTable"]) -> None:
+        """table.py:748-808."""
+        ty = self.typer
+        ty.infer_all()
+        merge_stops(ty, *find_stops(ty))
+        fix_stop_abbreviations(ty, find_stops(ty)[1])
+        merge_consecutive_days(ty)
+        remove_duplicate_days(ty, ref)
+
+    # -- CSV (table.py:438-462, F6 blanking) ------------------------------
+
+    def to_csv(self) -> str:
+        g, s, ty = self.grid, self.grid.store, self.typer
+        bad = (OTHER, LEGEND_IDENT, LEGEND_VALUE)
+        lines = []
+        for r in range(g.n_rows):
+            texts = []
+            for c in range(g.n_cols):
+                if ty.strict[r, c] in bad:
+                    texts.append("")
+                    continue
+                t = s.text[g.cells[r][c]].replace('"', "")
+                texts.append(f'"{t}"' if "," in t else t)
+            if any(texts):
+                lines.append(",".join(texts))
+        return "\n".join(lines) + "\n"
+
+    # -- timetable (table.py:624-711) --------------------------------------
+
+    def to_timetable(self, table_id: int,
+                     cfg: ExtractConfig) -> tuple[pd.DataFrame, pd.DataFrame]:
+        g, s, ty = self.grid, self.grid.store, self.typer
+        o, stops = find_stops(ty)
+        empty = (pd.DataFrame(columns=ENTRY_COLUMNS),
+                 pd.DataFrame(columns=STOP_COLUMNS))
+        if len(stops) < 3:
+            return empty
+
+        stop_rows = [i for i, _ in stops]          # series indices
+        stop_texts = [s.text[g.cells[r][c]] for _, (r, c) in stops]
+        is_conn = detect_connections(stop_texts, cfg)
+        pos_of_series = {k: p for p, k in enumerate(stop_rows)}
+        annots_of_stop: dict[int, str] = {}
+
+        n_entries = g.n_cols if o == V else g.n_rows
+        entries = [{
+            "kind": None, "values": [], "days": [], "days_text": "",
+            "annotations": set(), "route_name": "", "repeat_texts": [],
+        } for _ in range(n_entries)]
+        valid = set()
+
+        outer = g.n_rows if o == V else g.n_cols
+        for k in range(outer):           # stop axis position
+            for e_id in range(n_entries):
+                r, c = (k, e_id) if o == V else (e_id, k)
+                t = ty.strict[r, c]
+                text = s.text[g.cells[r][c]]
+                ent = entries[e_id]
+                if t == TIME:
+                    ent["values"].append((k, text))
+                    valid.add(e_id)
+                elif t == ENTRY_ANNOT_VALUE:
+                    ent["annotations"] = {a.strip() for a in text.split()}
+                elif t == DAYS:
+                    ent["days_text"] = text
+                    dv = cfg.header_values.get(text.lower().strip(), "")
+                    ent["days"] = [d for d in dv.split(",") if d]
+                elif t == ROUTE_ANNOT_VALUE:
+                    ent["route_name"] = text
+                elif t == STOP_ANNOT:
+                    if k in pos_of_series:
+                        annots_of_stop[k] = text
+                elif t == REPEAT_VALUE:
+                    if not ent["repeat_texts"]:
+                        ent["repeat_texts"] = [text]
+                        ent["kind"] = "repeat"
+                    valid.add(e_id)
+
+        stops_df = pd.DataFrame({
+            "table_id": table_id,
+            "stop_pos": np.arange(len(stops)),
+            "row_idx": stop_rows,
+            "stop_name": [t.strip() for t in stop_texts],
+            "stop_annot": [annots_of_stop.get(k, "") for k in stop_rows],
+            "is_connection": is_conn,
+        }, columns=STOP_COLUMNS)
+
+        # forward-fill days; initial = first entry's days (reference's
+        # first_true(..., e.days != []) always picks entries[0])
+        prev_days = entries[0]["days"]
+        prev_text = entries[0]["days_text"]
+        rows = []
+        entry_id = -1
+        for e_id in sorted(valid):
+            ent = entries[e_id]
+            entry_id += 1
+            if not ent["days"]:
+                ent["days"], ent["days_text"] = prev_days, prev_text
+            prev_days, prev_text = ent["days"], ent["days_text"]
+            kind = ent["kind"] or "time"
+            repeat = None
+            if kind == "repeat":
+                repeat = interval_str_to_int_list(ent["repeat_texts"][0])
+            base = {
+                "table_id": table_id, "entry_id": entry_id, "kind": kind,
+                "header_text": ent["days_text"],
+                "route_name": ent["route_name"],
+                "annotations": sorted(ent["annotations"]),
+                "days": ent["days"], "repeat_intervals": repeat,
+            }
+            values = ent["values"] or [(None, None)]
+            for k, text in values:
+                p = pos_of_series.get(k) if k is not None else None
+                rows.append({
+                    **base,
+                    "stop_pos": p,
+                    "stop_row_idx": k,
+                    "stop_name": (stops_df["stop_name"].iloc[p]
+                                  if p is not None else None),
+                    "stop_annot": (stops_df["stop_annot"].iloc[p]
+                                   if p is not None else None),
+                    "is_connection": (bool(is_conn[p])
+                                      if p is not None else False),
+                    "value": text,
+                })
+        entries_df = (pd.DataFrame(rows, columns=ENTRY_COLUMNS)
+                      if rows else empty[0])
+        return entries_df, stops_df
+
+    def to_result(self, table_id: int,
+                  cfg: ExtractConfig) -> TableResult:
+        g, s, ty = self.grid, self.grid.store, self.typer
+        entries, stops = self.to_timetable(table_id, cfg)
+        recs = []
+        for r in range(g.n_rows):
+            for c in range(g.n_cols):
+                i = g.cells[r][c]
+                b = g.cell_bbox(r, c) or (math.nan,) * 4
+                recs.append((r, c, s.text[i], "",
+                             TYPE_NAMES[ty.strict[r, c]],
+                             b[0], b[1], b[2], b[3]))
+        cells = pd.DataFrame(recs, columns=[
+            "row_idx", "col_idx", "text", "row_type", "col_type",
+            "x0", "y0", "x1", "y1"])
+        return TableResult(
+            cells=cells, row_types=[], col_types=[],
+            csv_text=self.to_csv(), entries=entries, stops=stops)
+
+
+# ---------------------------------------------------------------------------
+# merge_tables (table.py:899-938, 1261-1308; J4 as-of walk)
+# ---------------------------------------------------------------------------
+
+def _map_tables(t1: TypedTable, t2: TypedTable) -> list[tuple]:
+    """map_tables(t1, t2, V): pair t1's last-column cells with t2's
+    first-column cells by v-overlap; one-sided rows map to None."""
+    g1, g2 = t1.grid, t2.grid
+    rel = g1.store.cfg.min_cell_overlap
+    i = j = 0
+    cmap: list[tuple] = []
+    while i < g1.n_rows and j < g2.n_rows:
+        b1 = g1.cell_bbox(i, g1.n_cols - 1)
+        b2 = g2.cell_bbox(j, 0)
+        if b1 is None or b2 is None:
+            return []
+        if _is_olap(b1[1], b1[3], b2[1], b2[3], rel):
+            cmap.append((i, j))
+            i += 1
+            j += 1
+        elif b1[1] < b2[1]:
+            cmap.append((i, None))
+            i += 1
+        elif b1[1] > b2[1]:
+            cmap.append((None, j))
+            j += 1
+        else:
+            return []
+    return cmap
+
+
+def merge_tables(tables: list[TypedTable]) -> list[TypedTable]:
+    """merge_tables (table.py:1291-1308): repeatedly merge vertically
+    aligned split tables side by side, then re-infer."""
+    if len(tables) < 2:
+        return tables
+
+    def key(t: TypedTable):
+        b = t.grid.bbox() or (0, 0, 0, 0)
+        return (b[1], b[0])
+
+    tables = sorted(tables, key=key)
+    i1, i2 = 0, 1
+    while i1 < len(tables) and i2 < len(tables):
+        cmap = _map_tables(tables[i1], tables[i2])
+        if not cmap:
+            i2 += 1
+            if i2 >= len(tables):
+                i1 += 1
+                i2 = i1 + 1
+            continue
+        g1, g2 = tables[i1].grid, tables[i2].grid
+        s = g1.store
+        rows: list[list[int]] = []
+        for r1, r2 in cmap:
+            left = (list(g1.cells[r1]) if r1 is not None
+                    else [s.add_empty() for _ in range(g1.n_cols)])
+            right = (list(g2.cells[r2]) if r2 is not None
+                     else [s.add_empty() for _ in range(g2.n_cols)])
+            rows.append(left + right)
+        mapped1 = {r1 for r1, _ in cmap if r1 is not None}
+        mapped2 = {r2 for _, r2 in cmap if r2 is not None}
+        for r1 in range(g1.n_rows):     # trailing unmapped rows
+            if r1 not in mapped1:
+                rows.append(list(g1.cells[r1])
+                            + [s.add_empty() for _ in range(g2.n_cols)])
+        for r2 in range(g2.n_rows):
+            if r2 not in mapped2:
+                rows.append([s.add_empty() for _ in range(g1.n_cols)]
+                            + list(g2.cells[r2]))
+        merged = Grid(s, rows)
+        merged.potential = g1.potential
+        tt = TypedTable(merged)
+        tt.typer.infer_all()
+        tables[i1] = tt
+        tables.pop(i2)
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# per-turn orchestration (reader.py:292-318)
+# ---------------------------------------------------------------------------
+
+def tables_from_fields(fields: pd.DataFrame,
+                       cfg: ExtractConfig = DEFAULT_CONFIG
+                       ) -> list[TypedTable]:
+    """create_tables_from_page for one turn's word fields."""
+    from pdf2gtfs_spark.kernel.table_grid import CellStore
+
+    fields = fields[~fields["text"].str.startswith("(cid")]
+    if fields.empty:
+        return []
+    store = CellStore.from_fields(fields, cfg)
+    idxs = list(range(len(store.text)))
+    time_idx = [i for i in idxs if store.strict_type(i) == TIME]
+    other_idx = [i for i in idxs if store.strict_type(i) != TIME]
+    if not time_idx:
+        return []
+
+    mega = Grid.from_time_cells(store, time_idx)
+    pool = list(other_idx)
+    mega.insert_repeat_cells(pool)
+    grids = mega.max_split(pool)
+
+    # assign_other_cells_to_tables (reader.py:227-289): bounds from the
+    # nearest table in each direction; cells are duplicated per table
+    boxes = [g.bbox() for g in grids]
+    for gi, g in enumerate(grids):
+        b = boxes[gi]
+        if b is None:
+            g.potential = []
+            continue
+        above = [bb[3] for bb in boxes if bb and bb[3] < b[1]]
+        below = [bb[1] for bb in boxes if bb and bb[1] > b[3]]
+        left = [bb[2] for bb in boxes if bb and bb[2] < b[0]]
+        right = [bb[0] for bb in boxes if bb and bb[0] > b[2]]
+        n_b = max(above) if above else None
+        s_b = min(below) if below else None
+        w_b = max(left) if left else None
+        e_b = min(right) if right else None
+        sel = []
+        for i in pool:
+            if n_b is not None and store.y1[i] <= n_b:
+                continue
+            if s_b is not None and store.y0[i] >= s_b:
+                continue
+            if w_b is not None and store.x1[i] <= w_b:
+                continue
+            if e_b is not None and store.x0[i] >= e_b:
+                continue
+            sel.append(store.duplicate(i))
+        g.potential = sel
+
+    tables: list[TypedTable] = []
+    for g in grids:
+        g.expand_all()
+        tt = TypedTable(g)
+        tt.cleanup(tables[0] if tables else None)
+        tables.append(tt)
+    if cfg.merge_split_tables:
+        tables = merge_tables(tables)
+    return tables

@@ -343,6 +343,52 @@ def extract_cells_flagship(spark, sf_dir):
             .orderBy("conv_id", "turn_idx"))
 
 
+@register("extract_cells_newpath", oracle=f"""
+SELECT conv_id, turn_idx, table_id, n_stops, n_entries, days_key,
+       n_time_cells
+FROM read_parquet('{aux_path("newpath_expected.parquet")}')
+ORDER BY conv_id, turn_idx, table_id
+""")
+def extract_cells_newpath(spark, sf_dir):
+    """New (default) extraction path on the vag-like block corpus: the
+    distributed kernel's per-table structure (stop/entry/time-cell
+    counts, inferred days) must match facts derived from the corpus
+    construction (sources/transcripts.py:generate_newpath_transcripts),
+    which the oracle reads back independently."""
+    import dataclasses
+
+    from pdf2gtfs_spark.config import DEFAULT_CONFIG
+    from pdf2gtfs_spark.plans.pipeline import (
+        cells_table, entries_table, run_extract, stops_table,
+    )
+    from pdf2gtfs_spark.sources.transcripts import (
+        generate_newpath_transcripts,
+    )
+
+    transcripts, expected = generate_newpath_transcripts()
+    write_aux_pandas("newpath_expected.parquet", expected)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, extraction_path="new")
+    extracted = run_extract(spark.createDataFrame(transcripts), cfg,
+                            num_partitions=8)
+    keys = ["conv_id", "turn_idx", "table_id"]
+    n_stops = (stops_table(extracted).groupBy(keys)
+               .agg(F.count("*").alias("n_stops")))
+    ent = entries_table(extracted).where("kind = 'time'")
+    n_entries = (ent.groupBy(keys)
+                 .agg(F.countDistinct("entry_id").alias("n_entries"),
+                      F.min(F.array_join("days", ",")).alias("days_key")))
+    n_time = (cells_table(extracted).where("col_type = 'Time'")
+              .groupBy(keys).agg(F.count("*").alias("n_time_cells")))
+    return (n_stops.join(n_entries, keys).join(n_time, keys)
+            .select("conv_id", "turn_idx", "table_id",
+                    F.col("n_stops").cast("bigint").alias("n_stops"),
+                    F.col("n_entries").cast("bigint").alias("n_entries"),
+                    "days_key",
+                    F.col("n_time_cells").cast("bigint")
+                    .alias("n_time_cells"))
+            .orderBy(*keys))
+
+
 _ST_PARQUET = aux_path("gtfs_entries.parquet")
 _ST_TIME_RE = r"^(\d{1,2})\.(\d{1,2})$"
 

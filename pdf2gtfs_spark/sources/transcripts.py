@@ -121,6 +121,104 @@ def fixture_turns(cfg: ExtractConfig = DEFAULT_CONFIG
 
 
 # ---------------------------------------------------------------------------
+# vag-like block layouts (new extraction path corpus)
+# ---------------------------------------------------------------------------
+
+_CHAR_W = 5.0
+_CHAR_H = 8.0
+
+
+def vag_like_block(times_y0: float, n_stops: int = 8, n_trips: int = 4,
+                   x_stops: float = 40.0, stop_seed: int = 0
+                   ) -> tuple[list[tuple[str, float, float]], list[float]]:
+    """One vag-page-3-like block: stop col, an/ab col, time cols.
+
+    Returns (cells, time_col_x0s) with cells = [(text, x0, y0)]; stop
+    names <= 17 chars so columns never touch on the 5pt char raster.
+    """
+    cells: list[tuple[str, float, float]] = []
+    x_annot = x_stops + 20 * _CHAR_W
+    x_times = [x_annot + 4 * _CHAR_W + k * 10 * _CHAR_W
+               for k in range(n_trips)]
+    for s in range(n_stops):
+        y = times_y0 + s * 10.0
+        word = _STOP_WORDS[(stop_seed + s) % len(_STOP_WORDS)][:10]
+        cells.append((f"{word} Halt {s}", x_stops, y))
+        if s == 0:
+            cells.append(("ab", x_annot, y))
+        if s == n_stops - 1:
+            cells.append(("an", x_annot, y))
+        for k, x in enumerate(x_times):
+            h, m = divmod((6 * 60 + 20 * k + 2 * s + 7 * stop_seed)
+                          % (24 * 60), 60)
+            cells.append((f"{h}.{m:02}", x, y))
+    return cells, x_times
+
+
+def cells_to_payload(cells: list[tuple[str, float, float]]) -> str:
+    """Lay out (text, x0, y0) cells as a char-box payload."""
+    from pdf2gtfs_spark.kernel.payload import (
+        CHAR_COLUMNS, PageBox, encode_chars,
+    )
+
+    chars = []
+    for text, x0, y0 in cells:
+        x = x0
+        for ch in text:
+            chars.append((round(x, 2), y0, round(x + _CHAR_W, 2),
+                          y0 + _CHAR_H, ch))
+            x += _CHAR_W
+    df = pd.DataFrame(chars, columns=CHAR_COLUMNS)
+    page = PageBox(0, 0, float(df["x1"].max() + 40),
+                   float(df["y1"].max() + 40))
+    return encode_chars(page, df)
+
+
+_NEWPATH_DAYS = [("Montag - Freitag", ["0", "1", "2", "3", "4"]),
+                 ("Samstag", ["5"]),
+                 ("Sonntag", ["6"])]
+
+
+def generate_newpath_transcripts(n_convs: int = 4, turns_per_conv: int = 3
+                                 ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Deterministic corpus for the new extraction path.
+
+    Each turn stacks 1-3 vag-like blocks with a days header over the
+    first time column of each block. Expected facts (table count, stop
+    count, entry count, days key, time-cell count) are derived from the
+    construction itself — never from the kernel — so the driver's
+    DuckDB side is a genuine oracle.
+    """
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows, exp = [], []
+    for c in range(n_convs):
+        conv = f"np_{c:04d}"
+        for t in range(turns_per_conv):
+            n_blocks = 1 + (c + t) % 3
+            cells: list[tuple[str, float, float]] = []
+            y = 100.0
+            for b in range(n_blocks):
+                n_stops = 6 + (c + b) % 4
+                n_trips = 3 + (t + b) % 3
+                block, xs = vag_like_block(
+                    y, n_stops=n_stops, n_trips=n_trips,
+                    stop_seed=c * 7 + b)
+                days_text, days = _NEWPATH_DAYS[(c + t + b) % 3]
+                cells += block
+                cells.append((days_text, xs[0], y - 14.0))
+                exp.append((conv, t, b, n_stops, n_trips,
+                            ",".join(days), n_stops * n_trips))
+                y += n_stops * 10.0 + 36.0
+            rows.append((conv, t, "user", cells_to_payload(cells),
+                         "", t0 + timedelta(minutes=t)))
+    transcripts = pd.DataFrame(rows, columns=TRANSCRIPT_COLUMNS)
+    expected = pd.DataFrame(exp, columns=[
+        "conv_id", "turn_idx", "table_id", "n_stops", "n_entries",
+        "days_key", "n_time_cells"])
+    return transcripts, expected
+
+
+# ---------------------------------------------------------------------------
 # deterministic synthetic generator
 # ---------------------------------------------------------------------------
 
