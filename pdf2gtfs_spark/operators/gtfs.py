@@ -42,6 +42,12 @@ def _time_parse_cols(col, fmt: str):
     return is_time, expr
 
 
+def _md5_id(col):
+    """Deterministic 60-bit id from a key column (X18 replacement —
+    sequential UIDs are nondeterministic under distribution)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def gtfs_time_str(seconds_col):
     """int seconds -> 'HH:MM:SS' with hours allowed past 24."""
     h = (seconds_col / 3600).cast("int")

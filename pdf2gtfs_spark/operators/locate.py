@@ -124,3 +124,353 @@ def route_dijkstra_dp(spark, sf_dir):
     return (cand.groupBy("route_id")
             .applyInPandas(_dp_kernel, RESULT_SCHEMA)
             .orderBy("route_id", "stop_idx"))
+
+
+# ---------------------------------------------------------------------------
+# X13: clamped-log travel cost (reference loc_nodes.py:470-496)
+# ---------------------------------------------------------------------------
+
+def travel_cost_col(dist, lower, mid, upper, min_travel_distance=30.0):
+    """calculate_travel_cost_between as a Column expression: the cost
+    grows double-logarithmically around the expected distance band
+    [lower, upper]; distances outside the band shrink the log base
+    (coster); too-close nodes are unreachable (NULL here = the
+    reference's inf). Pure JVM-side math, no UDF."""
+    from pyspark.sql import functions as F
+
+    dist_to_mid = F.greatest(F.lit(1.0), F.abs(dist - mid))
+    log_base = F.lit(8.0)
+    log_base = F.when(dist < lower, log_base / F.floor(lower / dist)) \
+        .otherwise(log_base)
+    log_base = F.when(dist > upper, log_base / F.floor(dist / upper)) \
+        .otherwise(log_base)
+    log_base = F.greatest(F.lit(1.001), log_base)
+    inner = F.floor(F.pow(F.log(dist_to_mid) / F.log(log_base), 4.0))
+    cost = F.floor(F.log(F.greatest(F.lit(1.0), inner)) / F.log(F.lit(2.0)))
+    cost = F.greatest(F.lit(1.0), cost)
+    return F.when(dist < min_travel_distance, None).otherwise(cost) \
+        .cast("bigint")
+
+
+_COST_DIM_SQL = """
+SELECT p_partkey AS pair_id,
+       CAST(20 + (p_partkey * 37) % 4000 AS DOUBLE) AS dist,
+       CAST(400 + (p_partkey % 5) * 50 AS DOUBLE) AS lower,
+       CAST(900 + (p_partkey % 7) * 40 AS DOUBLE) AS mid,
+       CAST(1900 + (p_partkey % 3) * 100 AS DOUBLE) AS upper
+FROM part
+"""
+
+
+@register("locate_travel_cost", oracle=f"""
+WITH d AS ({_COST_DIM_SQL}),
+c AS (
+  SELECT pair_id, dist,
+         greatest(1.001,
+             8.0 / (CASE WHEN dist < lower
+                         THEN floor(lower / dist) ELSE 1 END)
+                 / (CASE WHEN dist > upper
+                         THEN floor(dist / upper) ELSE 1 END)) AS log_base,
+         greatest(1.0, abs(dist - mid)) AS dist_to_mid
+  FROM d
+)
+SELECT pair_id,
+       CASE WHEN dist < 30 THEN NULL
+            ELSE CAST(greatest(1.0, floor(ln(greatest(1.0,
+                 floor(pow(ln(dist_to_mid) / ln(log_base), 4.0))))
+                 / ln(2.0))) AS BIGINT) END AS travel_cost
+FROM c ORDER BY pair_id
+""")
+def locate_travel_cost(spark, sf_dir):
+    """Clamped double-log travel cost over a deterministic distance
+    dim derived from `part` (distances 20..4020, bands per key)."""
+    from pyspark.sql import functions as F
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    d = p.select(
+        F.col("p_partkey").alias("pair_id"),
+        (20 + (F.col("p_partkey") * 37) % 4000).cast("double")
+        .alias("dist"),
+        (400 + (F.col("p_partkey") % 5) * 50).cast("double").alias("lower"),
+        (900 + (F.col("p_partkey") % 7) * 40).cast("double").alias("mid"),
+        (1900 + (F.col("p_partkey") % 3) * 100).cast("double")
+        .alias("upper"))
+    return (d.select(
+                "pair_id",
+                travel_cost_col(F.col("dist"), F.col("lower"),
+                                F.col("mid"), F.col("upper"))
+                .alias("travel_cost"))
+            .orderBy("pair_id"))
+
+
+# ---------------------------------------------------------------------------
+# 3-phase location interpolation (reference finder/__init__.py:84-163)
+# ---------------------------------------------------------------------------
+
+def interpolate_locations(nodes, route_col="route_id", idx_col="stop_idx",
+                          lat_col="lat", lon_col="lon"):
+    """Window-based port of interpolate_missing_node_locations:
+
+    1. intermediate missing nodes blend linearly between the previous
+       and next valid nodes (equal spacing);
+    2. trailing missing nodes extend the last valid step vector;
+    3. leading missing nodes extend the first valid step backwards
+       (the reference's reversed pass).
+
+    Routes with fewer than two valid nodes keep their NULLs (the
+    reference bails, finder/__init__.py:149-159). Two window passes +
+    one broadcastable per-route boundary join — no UDF.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w_prev = (Window.partitionBy(route_col).orderBy(idx_col)
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_next = (Window.partitionBy(route_col).orderBy(idx_col)
+              .rowsBetween(0, Window.unboundedFollowing))
+    valid = F.col(lat_col).isNotNull()
+    df = nodes
+    vidx = F.when(valid, F.col(idx_col))
+    for c in (lat_col, lon_col):
+        df = (df.withColumn(f"_p_{c}", F.last(F.when(valid, F.col(c)),
+                                              True).over(w_prev))
+              .withColumn(f"_n_{c}", F.first(F.when(valid, F.col(c)),
+                                             True).over(w_next)))
+    df = (df.withColumn("_p_i", F.last(vidx, True).over(w_prev))
+          .withColumn("_n_i", F.first(vidx, True).over(w_next)))
+
+    # phase 1: intermediate
+    frac = ((F.col(idx_col) - F.col("_p_i"))
+            / (F.col("_n_i") - F.col("_p_i")))
+    for c in (lat_col, lon_col):
+        df = df.withColumn(
+            c,
+            F.when(valid, F.col(c))
+            .when(F.col("_p_i").isNotNull() & F.col("_n_i").isNotNull(),
+                  F.col(f"_p_{c}")
+                  + (F.col(f"_n_{c}") - F.col(f"_p_{c}")) * frac))
+
+    # per-route boundary steps from the phase-1 result
+    w_all = Window.partitionBy(route_col).orderBy(idx_col)
+    filled = df.withColumn("_lag_lat", F.lag(lat_col).over(w_all)) \
+               .withColumn("_lag_lon", F.lag(lon_col).over(w_all)) \
+               .withColumn("_lead_lat", F.lead(lat_col).over(w_all)) \
+               .withColumn("_lead_lon", F.lead(lon_col).over(w_all))
+    first_valid = F.when(valid, F.col(idx_col))
+    bounds = (filled.groupBy(route_col).agg(
+        F.min(first_valid).alias("_fv"),
+        F.max(first_valid).alias("_lv"),
+        F.count(F.when(valid, 1)).alias("_nv"),
+        F.max(F.when(valid & (F.col(idx_col) == F.max(first_valid)
+                              .over(Window.partitionBy(route_col))),
+                     1)).alias("_dummy")))
+    # steps at the boundaries (from the filled sequence)
+    step = (filled.groupBy(route_col).agg(
+        F.min(F.when(valid, F.col(idx_col))).alias("_fv"),
+        F.max(F.when(valid, F.col(idx_col))).alias("_lv"),
+        F.count(F.when(valid, 1)).alias("_nv"),
+        F.first(F.when(valid & F.col("_lag_lat").isNotNull(),
+                       F.col(lat_col) - F.col("_lag_lat")), True)
+        .alias("_sf_lat_unused")))
+    del bounds, step
+    agg = (filled.groupBy(route_col).agg(
+        F.min(F.when(valid, F.col(idx_col))).alias("_fv"),
+        F.max(F.when(valid, F.col(idx_col))).alias("_lv"),
+        F.count(F.when(valid, 1)).alias("_nv"),
+        # step into the last valid node (end extrapolation vector)
+        F.max_by(F.col(lat_col) - F.col("_lag_lat"),
+                 F.when(valid & F.col("_lag_lat").isNotNull(),
+                        F.col(idx_col))).alias("_se_lat"),
+        F.max_by(F.col(lon_col) - F.col("_lag_lon"),
+                 F.when(valid & F.col("_lag_lon").isNotNull(),
+                        F.col(idx_col))).alias("_se_lon"),
+        # step out of the first valid node (start extrapolation vector)
+        F.min_by(F.col("_lead_lat") - F.col(lat_col),
+                 F.when(valid & F.col("_lead_lat").isNotNull(),
+                        F.col(idx_col))).alias("_ss_lat"),
+        F.min_by(F.col("_lead_lon") - F.col(lon_col),
+                 F.when(valid & F.col("_lead_lon").isNotNull(),
+                        F.col(idx_col))).alias("_ss_lon"),
+        # boundary locations
+        F.min_by(F.when(valid, F.col(lat_col)),
+                 F.when(valid, F.col(idx_col))).alias("_fl_lat"),
+        F.min_by(F.when(valid, F.col(lon_col)),
+                 F.when(valid, F.col(idx_col))).alias("_fl_lon"),
+        F.max_by(F.when(valid, F.col(lat_col)),
+                 F.when(valid, F.col(idx_col))).alias("_ll_lat"),
+        F.max_by(F.when(valid, F.col(lon_col)),
+                 F.when(valid, F.col(idx_col))).alias("_ll_lon")))
+    out = df.join(F.broadcast(agg), route_col)
+    enough = F.col("_nv") >= 2
+    for c, sl, ll, ss, fl in (
+            (lat_col, "_se_lat", "_ll_lat", "_ss_lat", "_fl_lat"),
+            (lon_col, "_se_lon", "_ll_lon", "_ss_lon", "_fl_lon")):
+        out = out.withColumn(
+            c,
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(enough & (F.col(idx_col) > F.col("_lv")),
+                  F.col(ll) + F.col(sl)
+                  * (F.col(idx_col) - F.col("_lv")))
+            .when(enough & (F.col(idx_col) < F.col("_fv")),
+                  F.col(fl) - F.col(ss)
+                  * (F.col("_fv") - F.col(idx_col))))
+    keep = [route_col, idx_col, lat_col, lon_col]
+    return out.select(*keep)
+
+
+@register("locate_interpolation", oracle="""
+WITH nodes AS (
+  SELECT CAST(i // 12 AS INT) AS route_id, CAST(i % 12 AS INT) AS stop_idx,
+         CASE WHEN (i % 12) IN (5, 6) OR (i * i + i // 12) % 3 = 0
+              THEN CAST(2520 * ((i * 7) % 50) AS DOUBLE) END AS lat,
+         CASE WHEN (i % 12) IN (5, 6) OR (i * i + i // 12) % 3 = 0
+              THEN CAST(2520 * ((i * 11) % 50) AS DOUBLE) END AS lon
+  FROM (SELECT unnest(generate_series(0, 95)) AS i)
+), p AS (
+  SELECT *,
+    max(CASE WHEN lat IS NOT NULL THEN stop_idx END)
+        OVER wp AS p_i,
+    min(CASE WHEN lat IS NOT NULL THEN stop_idx END)
+        OVER wn AS n_i,
+    max(lat) OVER (PARTITION BY route_id, (CASE WHEN lat IS NOT NULL
+        THEN stop_idx END) ) AS _x
+  FROM nodes
+  WINDOW wp AS (PARTITION BY route_id ORDER BY stop_idx
+                ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY route_id ORDER BY stop_idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), q AS (
+  SELECT route_id, stop_idx, lat, lon, p_i, n_i,
+    last_value(lat IGNORE NULLS) OVER wp AS p_lat,
+    last_value(lon IGNORE NULLS) OVER wp AS p_lon,
+    first_value(lat IGNORE NULLS) OVER wn AS n_lat,
+    first_value(lon IGNORE NULLS) OVER wn AS n_lon
+  FROM p
+  WINDOW wp AS (PARTITION BY route_id ORDER BY stop_idx
+                ROWS UNBOUNDED PRECEDING),
+         wn AS (PARTITION BY route_id ORDER BY stop_idx
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), ph1 AS (
+  SELECT route_id, stop_idx,
+    CASE WHEN lat IS NOT NULL THEN lat
+         WHEN p_i IS NOT NULL AND n_i IS NOT NULL
+         THEN p_lat + (n_lat - p_lat) * (stop_idx - p_i)
+              / CAST(n_i - p_i AS DOUBLE) END AS lat,
+    CASE WHEN lon IS NOT NULL THEN lon
+         WHEN p_i IS NOT NULL AND n_i IS NOT NULL
+         THEN p_lon + (n_lon - p_lon) * (stop_idx - p_i)
+              / CAST(n_i - p_i AS DOUBLE) END AS lon,
+    lat IS NOT NULL AS valid
+  FROM q
+), steps AS (
+  SELECT route_id,
+    min(CASE WHEN valid THEN stop_idx END) AS fv,
+    max(CASE WHEN valid THEN stop_idx END) AS lv,
+    count(CASE WHEN valid THEN 1 END) AS nv,
+    arg_max(lat - lag_lat, CASE WHEN valid AND lag_lat IS NOT NULL
+                                THEN stop_idx END) AS se_lat,
+    arg_max(lon - lag_lon, CASE WHEN valid AND lag_lon IS NOT NULL
+                                THEN stop_idx END) AS se_lon,
+    arg_min(lead_lat - lat, CASE WHEN valid AND lead_lat IS NOT NULL
+                                 THEN stop_idx END) AS ss_lat,
+    arg_min(lead_lon - lon, CASE WHEN valid AND lead_lon IS NOT NULL
+                                 THEN stop_idx END) AS ss_lon,
+    arg_min(CASE WHEN valid THEN lat END,
+            CASE WHEN valid THEN stop_idx END) AS fl_lat,
+    arg_min(CASE WHEN valid THEN lon END,
+            CASE WHEN valid THEN stop_idx END) AS fl_lon,
+    arg_max(CASE WHEN valid THEN lat END,
+            CASE WHEN valid THEN stop_idx END) AS ll_lat,
+    arg_max(CASE WHEN valid THEN lon END,
+            CASE WHEN valid THEN stop_idx END) AS ll_lon
+  FROM (SELECT *,
+          lag(lat) OVER w AS lag_lat, lag(lon) OVER w AS lag_lon,
+          lead(lat) OVER w AS lead_lat, lead(lon) OVER w AS lead_lon
+        FROM ph1 WINDOW w AS (PARTITION BY route_id ORDER BY stop_idx))
+  GROUP BY route_id
+)
+SELECT p.route_id, p.stop_idx,
+  CAST(round(coalesce(p.lat,
+      CASE WHEN s.nv >= 2 AND p.stop_idx > s.lv
+           THEN s.ll_lat + s.se_lat * (p.stop_idx - s.lv)
+           WHEN s.nv >= 2 AND p.stop_idx < s.fv
+           THEN s.fl_lat - s.ss_lat * (s.fv - p.stop_idx) END))
+      AS BIGINT) AS lat_i,
+  CAST(round(coalesce(p.lon,
+      CASE WHEN s.nv >= 2 AND p.stop_idx > s.lv
+           THEN s.ll_lon + s.se_lon * (p.stop_idx - s.lv)
+           WHEN s.nv >= 2 AND p.stop_idx < s.fv
+           THEN s.fl_lon - s.ss_lon * (s.fv - p.stop_idx) END))
+      AS BIGINT) AS lon_i
+FROM ph1 p JOIN steps s USING (route_id)
+ORDER BY p.route_id, p.stop_idx
+""")
+def locate_interpolation(spark, sf_dir):
+    """3-phase missing-location interpolation on a deterministic
+    8-route x 12-stop dim (locations are multiples of 2520 so every
+    blend divides exactly; at least two valid nodes per route by
+    construction: stop 5 and 6 always valid)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(96).select(
+        (F.col("id") / 12).cast("int").alias("route_id"),
+        (F.col("id") % 12).cast("int").alias("stop_idx"),
+        F.col("id").alias("i"))
+    known = ((F.col("stop_idx").isin(5, 6))
+             | ((F.col("i") * F.col("i") + F.col("i") / 12).cast("bigint")
+                % 3 == 0))
+    nodes = base.select(
+        "route_id", "stop_idx",
+        F.when(known, (2520 * ((F.col("i") * 7) % 50)).cast("double"))
+        .alias("lat"),
+        F.when(known, (2520 * ((F.col("i") * 11) % 50)).cast("double"))
+        .alias("lon"))
+    out = interpolate_locations(nodes)
+    return (out.select("route_id", "stop_idx",
+                       F.round("lat").cast("bigint").alias("lat_i"),
+                       F.round("lon").cast("bigint").alias("lon_i"))
+            .orderBy("route_id", "stop_idx"))
+
+
+# ---------------------------------------------------------------------------
+# J6 + name_cost (reference locate/__init__.py:138-175)
+# ---------------------------------------------------------------------------
+
+@register("locate_name_cost", oracle="""
+WITH stops AS (
+  SELECT n_nationkey AS stop_id, lower(n_name) AS stop_name,
+         length(replace(lower(n_name), ' ', '')) AS stop_len
+  FROM nation
+), nodes AS (
+  SELECT c_custkey AS node_id, lower(c_name) AS names FROM customer
+)
+SELECT s.stop_id, n.node_id,
+       abs(s.stop_len - length(replace(n.names, ' ', ''))) AS name_cost
+FROM stops s JOIN nodes n
+  ON regexp_matches(n.names, concat('\\b', s.stop_name, '\\b'))
+ORDER BY stop_id, node_id
+""")
+def locate_name_cost(spark, sf_dir):
+    """J6 theta join (node names must contain the stop's words) plus
+    the per-pair name_cost = length difference ignoring spaces
+    (locate/__init__.py:152-175). Stops side broadcast."""
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stops = n.select(
+        F.col("n_nationkey").alias("stop_id"),
+        F.lower("n_name").alias("stop_name"),
+        F.length(F.regexp_replace(F.lower("n_name"), " ", ""))
+        .alias("stop_len"))
+    nodes = c.select(F.col("c_custkey").alias("node_id"),
+                     F.lower("c_name").alias("names"))
+    joined = nodes.join(
+        F.broadcast(stops),
+        F.expr(r"names rlike concat('\\b', stop_name, '\\b')"))
+    return (joined.select(
+                "stop_id", "node_id",
+                F.abs(F.col("stop_len")
+                      - F.length(F.regexp_replace("names", " ", "")))
+                .alias("name_cost"))
+            .orderBy("stop_id", "node_id"))

@@ -74,12 +74,10 @@ def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG):
                 for tid, t in enumerate(res.tables):
                     out.append({
                         **base, "table_id": tid, "csv_text": t.csv_text,
-                        "cells": t.cells[_CELL_STRUCT_COLS].to_dict(
-                            "records"),
-                        "entries": t.entries[_ENTRY_STRUCT_COLS].to_dict(
-                            "records"),
-                        "stops": t.stops[_STOP_STRUCT_COLS].to_dict(
-                            "records"),
+                        "cells": t.records("cells", _CELL_STRUCT_COLS),
+                        "entries": t.records("entries",
+                                             _ENTRY_STRUCT_COLS),
+                        "stops": t.records("stops", _STOP_STRUCT_COLS),
                     })
             yield pd.DataFrame(out)
 

@@ -74,14 +74,10 @@ class TestStopNames:
         assert get_stop_base_name("Frankfurt") == "Frankfurt"
 
     def _run_fix(self, texts, bboxes):
-        cells = pd.DataFrame({
-            "text": texts,
-            "x0": [b[0] for b in bboxes],
-            "y0": [b[1] for b in bboxes],
-            "line_id": range(len(texts)),
-        })
         row_types = {i: R_DATA for i in range(len(texts))}
-        return list(fix_split_stop_names(cells, row_types))
+        return fix_split_stop_names(
+            list(texts), [b[0] for b in bboxes],
+            list(range(len(texts))), row_types)
 
     def test_fix_split_stop_names_delimiter(self):
         # golden: reference test/data/data.yaml test_fix_split_stop_names
