@@ -30,8 +30,9 @@ BENCH_QUERIES = [
     "window_time_rollover", "window_forward_fill", "range_join_ship_window",
     "asof_last_click_before_purchase", "dedup_exact",
     "dedup_ngram_jaccard", "minhash_lsh_pairs", "simhash_fingerprints",
-    "embedding_cosine_topk", "langid_stopword_vote", "quality_score",
-    "doc_fingerprint",
+    "embedding_cosine_topk", "embedding_ivf_topk", "langid_stopword_vote",
+    "quality_score", "doc_fingerprint", "locate_travel_cost",
+    "locate_interpolation", "locate_name_cost",
 ]
 
 # fixed extraction workload: 96 unique turn payloads tiled over many
@@ -112,6 +113,27 @@ def main() -> None:
         timings["extract_pipeline"] = round(extract_s, 3)
         turns_per_sec = n_turns / extract_s
 
+        # new (default reference) extraction path on a 1/4 subset:
+        # heavier per turn (inference fixpoint), reported separately
+        import dataclasses
+
+        from pyspark.sql import functions as F
+
+        from pdf2gtfs_spark.config import DEFAULT_CONFIG
+
+        new_cfg = dataclasses.replace(DEFAULT_CONFIG, extraction_path="new")
+        sub = transcripts.where(
+            F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(4)) == 0)
+        n_new = sub.count()
+        turn_csvs(run_extract(sub, new_cfg)).write.format("noop").mode(
+            "overwrite").save()  # warm
+        t0 = time.time()
+        turn_csvs(run_extract(sub, new_cfg)).write.format("noop").mode(
+            "overwrite").save()
+        newpath_s = time.time() - t0
+        timings["extract_newpath"] = round(newpath_s, 3)
+        newpath_tps = n_new / newpath_s
+
         for name in (BENCH_QUERIES if RUN_QUERIES else []):
             fn = QUERIES[name]
             t0 = time.time()
@@ -128,6 +150,8 @@ def main() -> None:
             "sf": sf,
             "extract_turns_per_sec": round(turns_per_sec, 2),
             "extract_turns": n_turns,
+            "newpath_turns_per_sec": round(newpath_tps, 2),
+            "newpath_turns": n_new,
             "cpus": cpus,
         }))
     finally:

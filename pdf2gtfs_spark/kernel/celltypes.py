@@ -20,7 +20,9 @@ import numpy as np
 import pandas as pd
 
 from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
-from pdf2gtfs_spark.kernel.timefmt import match_times
+from pdf2gtfs_spark.kernel.timefmt import (
+    is_time_str, time_format_to_regex,
+)
 
 # Type ids (order is arbitrary but fixed; ties are broken by the rank
 # arrays below, never by this order).
@@ -101,6 +103,7 @@ class TypeMatchers:
 
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG) -> None:
         self.cfg = cfg
+        self.time_re, self.time_order = time_format_to_regex(cfg.time_format)
         self.header_keys = frozenset(k.lower() for k in cfg.header_values)
         self.negative_header = frozenset(
             v.lower() for v in cfg.negative_header_values)
@@ -115,39 +118,52 @@ class TypeMatchers:
         self.annot_idents = frozenset(
             v.lower() for v in cfg.annot_identifier)
 
-    def guess(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-        """Vectorized CellType.guess_type (celltype.py:48-81).
+    def guess_list(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """CellType.guess_type over a list (celltype.py:48-81).
 
         Returns (P, fallback) where P is (n, N_TYPES) with NaN for
         types absent from possible_types, probabilities rounded to 3
         decimals exactly like the reference, and fallback marks cells
         where no absolute indicator fired (selects the tie-break rank).
+        Scalar predicates beat pandas str ops ~5x at the tens-to-
+        hundreds of cells per turn seen here.
         """
         n = len(texts)
-        lower = texts.str.lower()
-        ind = np.zeros((n, N_TYPES), dtype=np.float64)
-        is_time, _ = match_times(texts, self.cfg.time_format)
-        ind[:, TIME] = is_time.to_numpy()
-        ind[:, DAYS] = lower.isin(self.header_keys).to_numpy()
-        ind[:, REPEAT_IDENT] = lower.isin(self.repeat_idents).to_numpy()
-        ind[:, STOP_ANNOT] = lower.isin(self.stop_annots).to_numpy()
-        ind[:, ROUTE_ANNOT_IDENT] = lower.isin(self.route_idents).to_numpy()
-        ind[:, ENTRY_ANNOT_IDENT] = lower.isin(self.annot_idents).to_numpy()
-        ind[:, LEGEND_IDENT] = texts.str.match(_LEGEND_RE).to_numpy()
-
-        fired = ind.sum(axis=1) > 0
         P = np.full((n, N_TYPES), np.nan)
-        # indicator case: fired types get 1, Other gets 0.5
-        P[fired] = np.where(ind[fired] > 0, 1.0, np.nan)
-        P[fired, OTHER] = 0.5
-        # fallback case: every ABS_FALLBACK type 1, Other 2
-        fb = ~fired
-        for t in FALLBACK_ORDER:
-            P[fb, t] = 1.0
-        P[fb, OTHER] = 2.0
-        div = np.nansum(P, axis=1, keepdims=True)
-        P = np.round(P / div, 3)
+        fb = np.zeros(n, dtype=bool)
+        fb_p = round(1 / 9, 3)
+        fb_other = round(2 / 9, 3)
+        for i, t in enumerate(texts):
+            tl = t.lower()
+            fired = []
+            if is_time_str(t, self.time_re, self.time_order):
+                fired.append(TIME)
+            if tl in self.header_keys:
+                fired.append(DAYS)
+            if tl in self.repeat_idents:
+                fired.append(REPEAT_IDENT)
+            if tl in self.stop_annots:
+                fired.append(STOP_ANNOT)
+            if tl in self.route_idents:
+                fired.append(ROUTE_ANNOT_IDENT)
+            if tl in self.annot_idents:
+                fired.append(ENTRY_ANNOT_IDENT)
+            if _LEGEND_RE.match(t):
+                fired.append(LEGEND_IDENT)
+            if fired:
+                div = len(fired) + 0.5
+                for ty in fired:
+                    P[i, ty] = round(1 / div, 3)
+                P[i, OTHER] = round(0.5 / div, 3)
+            else:
+                fb[i] = True
+                for ty in FALLBACK_ORDER:
+                    P[i, ty] = fb_p
+                P[i, OTHER] = fb_other
         return P, fb
+
+    def guess(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+        return self.guess_list(list(texts))
 
 
 def strict_guess(P: np.ndarray, fallback: np.ndarray) -> np.ndarray:

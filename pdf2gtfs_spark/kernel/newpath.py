@@ -570,13 +570,11 @@ class TypedTable:
     # -- timetable (table.py:624-711) --------------------------------------
 
     def to_timetable(self, table_id: int,
-                     cfg: ExtractConfig) -> tuple[pd.DataFrame, pd.DataFrame]:
+                     cfg: ExtractConfig) -> tuple[list[dict], list[dict]]:
         g, s, ty = self.grid, self.grid.store, self.typer
         o, stops = find_stops(ty)
-        empty = (pd.DataFrame(columns=ENTRY_COLUMNS),
-                 pd.DataFrame(columns=STOP_COLUMNS))
         if len(stops) < 3:
-            return empty
+            return [], []
 
         stop_rows = [i for i, _ in stops]          # series indices
         stop_texts = [s.text[g.cells[r][c]] for _, (r, c) in stops]
@@ -618,14 +616,13 @@ class TypedTable:
                         ent["kind"] = "repeat"
                     valid.add(e_id)
 
-        stops_df = pd.DataFrame({
-            "table_id": table_id,
-            "stop_pos": np.arange(len(stops)),
-            "row_idx": stop_rows,
-            "stop_name": [t.strip() for t in stop_texts],
-            "stop_annot": [annots_of_stop.get(k, "") for k in stop_rows],
-            "is_connection": is_conn,
-        }, columns=STOP_COLUMNS)
+        stop_names = [t.strip() for t in stop_texts]
+        stop_annots = [annots_of_stop.get(k, "") for k in stop_rows]
+        stops_records = [{
+            "table_id": table_id, "stop_pos": p, "row_idx": r,
+            "stop_name": nm, "stop_annot": an, "is_connection": ic,
+        } for p, (r, nm, an, ic) in enumerate(
+            zip(stop_rows, stop_names, stop_annots, is_conn))]
 
         # forward-fill days; initial = first entry's days (reference's
         # first_true(..., e.days != []) always picks entries[0])
@@ -657,36 +654,34 @@ class TypedTable:
                     **base,
                     "stop_pos": p,
                     "stop_row_idx": k,
-                    "stop_name": (stops_df["stop_name"].iloc[p]
+                    "stop_name": (stop_names[p]
                                   if p is not None else None),
-                    "stop_annot": (stops_df["stop_annot"].iloc[p]
+                    "stop_annot": (stop_annots[p]
                                    if p is not None else None),
                     "is_connection": (bool(is_conn[p])
                                       if p is not None else False),
                     "value": text,
                 })
-        entries_df = (pd.DataFrame(rows, columns=ENTRY_COLUMNS)
-                      if rows else empty[0])
-        return entries_df, stops_df
+        return rows, stops_records
 
     def to_result(self, table_id: int,
                   cfg: ExtractConfig) -> TableResult:
         g, s, ty = self.grid, self.grid.store, self.typer
-        entries, stops = self.to_timetable(table_id, cfg)
+        entries_records, stops_records = self.to_timetable(table_id, cfg)
         recs = []
         for r in range(g.n_rows):
             for c in range(g.n_cols):
                 i = g.cells[r][c]
                 b = g.cell_bbox(r, c) or (math.nan,) * 4
-                recs.append((r, c, s.text[i], "",
-                             TYPE_NAMES[ty.strict[r, c]],
-                             b[0], b[1], b[2], b[3]))
-        cells = pd.DataFrame(recs, columns=[
-            "row_idx", "col_idx", "text", "row_type", "col_type",
-            "x0", "y0", "x1", "y1"])
+                recs.append({
+                    "row_idx": r, "col_idx": c, "text": s.text[i],
+                    "row_type": "",
+                    "col_type": TYPE_NAMES[ty.strict[r, c]],
+                    "x0": b[0], "y0": b[1], "x1": b[2], "y1": b[3]})
         return TableResult(
-            cells=cells, row_types=[], col_types=[],
-            csv_text=self.to_csv(), entries=entries, stops=stops)
+            csv_text=self.to_csv(), row_types=[], col_types=[],
+            cells_records=recs, entries_records=entries_records,
+            stops_records=stops_records)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,18 @@ def time_format_to_regex(fmt: str) -> Tuple[re.Pattern, list[str]]:
     return re.compile(r"^" + pattern + r"$"), order
 
 
+def is_time_str(text: str, regex, order) -> bool:
+    """Scalar twin of match_times (same bounds checks)."""
+    m = regex.match(text)
+    if not m:
+        return False
+    for spec, val in zip(order, m.groups()):
+        lo, hi = _FIELD_SPECS[spec][1], _FIELD_SPECS[spec][2]
+        if not lo <= int(val) <= hi:
+            return False
+    return True
+
+
 def match_times(texts: pd.Series, fmt: str) -> Tuple[pd.Series, pd.Series]:
     """Return (is_time: bool Series, seconds: float Series with NaN).
 

@@ -228,8 +228,10 @@ def interpolate_locations(nodes, route_col="route_id", idx_col="stop_idx",
               .rowsBetween(Window.unboundedPreceding, 0))
     w_next = (Window.partitionBy(route_col).orderBy(idx_col)
               .rowsBetween(0, Window.unboundedFollowing))
-    valid = F.col(lat_col).isNotNull()
-    df = nodes
+    # materialize validity BEFORE phase 1 overwrites the columns —
+    # otherwise later expressions would see the filled values
+    df = nodes.withColumn("_valid", F.col(lat_col).isNotNull())
+    valid = F.col("_valid")
     vidx = F.when(valid, F.col(idx_col))
     for c in (lat_col, lon_col):
         df = (df.withColumn(f"_p_{c}", F.last(F.when(valid, F.col(c)),
@@ -256,23 +258,6 @@ def interpolate_locations(nodes, route_col="route_id", idx_col="stop_idx",
                .withColumn("_lag_lon", F.lag(lon_col).over(w_all)) \
                .withColumn("_lead_lat", F.lead(lat_col).over(w_all)) \
                .withColumn("_lead_lon", F.lead(lon_col).over(w_all))
-    first_valid = F.when(valid, F.col(idx_col))
-    bounds = (filled.groupBy(route_col).agg(
-        F.min(first_valid).alias("_fv"),
-        F.max(first_valid).alias("_lv"),
-        F.count(F.when(valid, 1)).alias("_nv"),
-        F.max(F.when(valid & (F.col(idx_col) == F.max(first_valid)
-                              .over(Window.partitionBy(route_col))),
-                     1)).alias("_dummy")))
-    # steps at the boundaries (from the filled sequence)
-    step = (filled.groupBy(route_col).agg(
-        F.min(F.when(valid, F.col(idx_col))).alias("_fv"),
-        F.max(F.when(valid, F.col(idx_col))).alias("_lv"),
-        F.count(F.when(valid, 1)).alias("_nv"),
-        F.first(F.when(valid & F.col("_lag_lat").isNotNull(),
-                       F.col(lat_col) - F.col("_lag_lat")), True)
-        .alias("_sf_lat_unused")))
-    del bounds, step
     agg = (filled.groupBy(route_col).agg(
         F.min(F.when(valid, F.col(idx_col))).alias("_fv"),
         F.max(F.when(valid, F.col(idx_col))).alias("_lv"),
@@ -326,26 +311,15 @@ WITH nodes AS (
          CASE WHEN (i % 12) IN (5, 6) OR (i * i + i // 12) % 3 = 0
               THEN CAST(2520 * ((i * 11) % 50) AS DOUBLE) END AS lon
   FROM (SELECT unnest(generate_series(0, 95)) AS i)
-), p AS (
-  SELECT *,
-    max(CASE WHEN lat IS NOT NULL THEN stop_idx END)
-        OVER wp AS p_i,
-    min(CASE WHEN lat IS NOT NULL THEN stop_idx END)
-        OVER wn AS n_i,
-    max(lat) OVER (PARTITION BY route_id, (CASE WHEN lat IS NOT NULL
-        THEN stop_idx END) ) AS _x
-  FROM nodes
-  WINDOW wp AS (PARTITION BY route_id ORDER BY stop_idx
-                ROWS UNBOUNDED PRECEDING),
-         wn AS (PARTITION BY route_id ORDER BY stop_idx
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 ), q AS (
-  SELECT route_id, stop_idx, lat, lon, p_i, n_i,
+  SELECT route_id, stop_idx, lat, lon,
+    max(CASE WHEN lat IS NOT NULL THEN stop_idx END) OVER wp AS p_i,
+    min(CASE WHEN lat IS NOT NULL THEN stop_idx END) OVER wn AS n_i,
     last_value(lat IGNORE NULLS) OVER wp AS p_lat,
     last_value(lon IGNORE NULLS) OVER wp AS p_lon,
     first_value(lat IGNORE NULLS) OVER wn AS n_lat,
     first_value(lon IGNORE NULLS) OVER wn AS n_lon
-  FROM p
+  FROM nodes
   WINDOW wp AS (PARTITION BY route_id ORDER BY stop_idx
                 ROWS UNBOUNDED PRECEDING),
          wn AS (PARTITION BY route_id ORDER BY stop_idx
@@ -413,12 +387,12 @@ def locate_interpolation(spark, sf_dir):
     from pyspark.sql import functions as F
 
     base = spark.range(96).select(
-        (F.col("id") / 12).cast("int").alias("route_id"),
+        F.floor(F.col("id") / 12).cast("int").alias("route_id"),
         (F.col("id") % 12).cast("int").alias("stop_idx"),
         F.col("id").alias("i"))
     known = ((F.col("stop_idx").isin(5, 6))
-             | ((F.col("i") * F.col("i") + F.col("i") / 12).cast("bigint")
-                % 3 == 0))
+             | ((F.col("i") * F.col("i")
+                 + F.floor(F.col("i") / 12)) % 3 == 0))
     nodes = base.select(
         "route_id", "stop_idx",
         F.when(known, (2520 * ((F.col("i") * 7) % 50)).cast("double"))
@@ -442,7 +416,12 @@ WITH stops AS (
          length(replace(lower(n_name), ' ', '')) AS stop_len
   FROM nation
 ), nodes AS (
-  SELECT c_custkey AS node_id, lower(c_name) AS names FROM customer
+  -- OSM-ish node names: the customer's nation name plus a suffix
+  SELECT c_custkey AS node_id,
+         concat(lower(n_name), ' halt ',
+                CAST(c_custkey % 10 AS VARCHAR)) AS names
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  WHERE c_custkey % 13 = 0
 )
 SELECT s.stop_id, n.node_id,
        abs(s.stop_len - length(replace(n.names, ' ', ''))) AS name_cost
@@ -463,8 +442,12 @@ def locate_name_cost(spark, sf_dir):
         F.lower("n_name").alias("stop_name"),
         F.length(F.regexp_replace(F.lower("n_name"), " ", ""))
         .alias("stop_len"))
-    nodes = c.select(F.col("c_custkey").alias("node_id"),
-                     F.lower("c_name").alias("names"))
+    nodes = (c.where("c_custkey % 13 = 0")
+             .join(n, c.c_nationkey == n.n_nationkey)
+             .select(F.col("c_custkey").alias("node_id"),
+                     F.concat(F.lower("n_name"), F.lit(" halt "),
+                              (F.col("c_custkey") % 10).cast("string"))
+                     .alias("names")))
     joined = nodes.join(
         F.broadcast(stops),
         F.expr(r"names rlike concat('\\b', stop_name, '\\b')"))

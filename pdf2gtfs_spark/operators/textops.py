@@ -357,6 +357,155 @@ def embedding_lsh_buckets(spark, sf_dir):
             .orderBy("bucket"))
 
 
+# --- IVF ANN (coarse quantizer + probed lists) -------------------------------
+# Scale path beyond sign-LSH: k-means-style coarse centroids (seeded
+# with the first K corpus vectors + one relational Lloyd step), corpus
+# bucketed by nearest centroid, queries probe the NPROBE nearest lists
+# only. At 100 TB the corpus scan becomes a bucket-pruned join instead
+# of a full crossJoin; recall@k against the exact baseline is part of
+# the query output so the quality trade-off is measured, not assumed.
+_IVF_K = 8
+_IVF_NPROBE = 2
+_IVF_DIM = 64      # embeddings.parquet dimension (TESTDATA.md)
+_IVF_TOPK = 3
+
+
+def _cos_cols(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.round(1e6 * dot / (na * nb)).cast("bigint")
+
+
+_IVF_SQL_CTES = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 5),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings
+           WHERE vec_id >= 5),
+seeds AS (SELECT vec_id AS cid, cv AS sv FROM corpus
+          WHERE vec_id < 5 + {_IVF_K}),
+assign0 AS (
+  SELECT vec_id, arg_max(cid, round(1e6 * list_cosine_similarity(cv, sv))
+                         * 100 - cid) AS cl
+  FROM corpus, seeds GROUP BY vec_id
+),
+cent AS (
+  SELECT cl, list(round(v, 6) ORDER BY i) AS centroid
+  FROM (
+    SELECT a.cl, i, avg(c.cv[i]) AS v
+    FROM corpus c JOIN assign0 a USING (vec_id),
+         (SELECT unnest(generate_series(1, {_IVF_DIM})) AS i)
+    GROUP BY a.cl, i)
+  GROUP BY cl
+),
+lists AS (
+  SELECT vec_id,
+         arg_max(cl, round(1e6 * list_cosine_similarity(cv, centroid))
+                     * 100 - cl) AS list_id
+  FROM corpus, cent GROUP BY vec_id
+),
+probes AS (
+  SELECT query_id, cl AS list_id
+  FROM (SELECT query_id, cl,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY round(1e6 * list_cosine_similarity(qv, centroid))
+                       DESC, cl) AS pr
+        FROM q, cent)
+  WHERE pr <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, l.vec_id
+  FROM probes p JOIN lists l USING (list_id)
+),
+ivf AS (
+  SELECT query_id, vec_id AS neighbor_id, cos_micros,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_micros DESC, vec_id) AS rk
+  FROM (SELECT c.query_id, c.vec_id,
+               CAST(round(1e6 * list_cosine_similarity(q.qv, co.cv))
+                    AS BIGINT) AS cos_micros
+        FROM cand c JOIN q USING (query_id)
+        JOIN corpus co ON co.vec_id = c.vec_id)
+),
+exact AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY round(1e6 * list_cosine_similarity(qv, cv)) DESC,
+                      vec_id) AS rk
+  FROM q, corpus
+)"""
+
+
+@register("embedding_ivf_topk", oracle=f"""
+{_IVF_SQL_CTES}
+SELECT i.query_id, CAST(i.rk AS BIGINT) AS rk, i.neighbor_id, i.cos_micros,
+       CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact
+FROM ivf i LEFT JOIN (SELECT * FROM exact WHERE rk <= {_IVF_TOPK}) e
+  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+WHERE i.rk <= {_IVF_TOPK}
+ORDER BY i.query_id, i.rk
+""")
+def embedding_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", F.col("embedding").cast("array<double>")
+                  .alias("v"))
+    q = ed.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    corpus = ed.where("vec_id >= 5").select("vec_id",
+                                            F.col("v").alias("cv"))
+    seeds = corpus.where(f"vec_id < {5 + _IVF_K}").select(
+        F.col("vec_id").alias("cid"), F.col("cv").alias("sv"))
+
+    # one Lloyd step: assign to seeds, then per-cluster dimension means
+    a0 = (corpus.crossJoin(F.broadcast(seeds))
+          .withColumn("cos", _cos_cols(F.col("cv"), F.col("sv")))
+          .groupBy("vec_id")
+          .agg(F.max_by("cid", F.col("cos") * 100 - F.col("cid"))
+               .alias("cl")))
+    cent = (corpus.join(a0, "vec_id")
+            .select("cl", F.posexplode("cv").alias("i", "val"))
+            .groupBy("cl", "i").agg(F.round(F.avg("val"), 6).alias("v"))
+            .groupBy("cl")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))),
+                lambda s: s["v"]).alias("centroid")))
+    lists = (corpus.crossJoin(F.broadcast(cent))
+             .withColumn("cos", _cos_cols(F.col("cv"), F.col("centroid")))
+             .groupBy("vec_id")
+             .agg(F.max_by("cl", F.col("cos") * 100 - F.col("cl"))
+                  .alias("list_id")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("cl"))
+    probes = (q.crossJoin(F.broadcast(cent))
+              .withColumn("cos", _cos_cols(F.col("qv"), F.col("centroid")))
+              .withColumn("pr", F.row_number().over(wq))
+              .where(f"pr <= {_IVF_NPROBE}")
+              .select("query_id", F.col("cl").alias("list_id")))
+    cand = probes.join(lists, "list_id").select("query_id", "vec_id")
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micros"), F.asc("vec_id"))
+    ivf = (cand.join(q, "query_id").join(corpus, "vec_id")
+           .withColumn("cos_micros", _cos_cols(F.col("qv"), F.col("cv")))
+           .withColumn("rk", F.row_number().over(wr))
+           .where(f"rk <= {_IVF_TOPK}"))
+    exact = (corpus.crossJoin(F.broadcast(q))
+             .withColumn("cos_micros", _cos_cols(F.col("qv"), F.col("cv")))
+             .withColumn("rk", F.row_number().over(wr))
+             .where(f"rk <= {_IVF_TOPK}")
+             .select("query_id", F.col("vec_id").alias("exact_id")))
+    return (ivf.join(exact,
+                     (ivf.query_id == exact.query_id)
+                     & (ivf.vec_id == exact.exact_id), "left")
+            .select(ivf.query_id, F.col("rk").cast("bigint").alias("rk"),
+                    F.col("vec_id").alias("neighbor_id"), "cos_micros",
+                    F.when(F.col("exact_id").isNotNull(), 1).otherwise(0)
+                    .alias("in_exact"))
+            .orderBy("query_id", "rk"))
+
+
 # --- language ID by stopword voting ------------------------------------------
 _LANG_MARKERS = {
     "en": ["the", "a", "of", "and"],

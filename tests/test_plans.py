@@ -65,6 +65,29 @@ class TestPlanQuality:
               .orderBy(F.desc("c_acctbal")).limit(10))
         assert "TakeOrderedAndProject" in _plan(df)
 
+    def test_ivf_probes_broadcast_and_no_full_cross(self, spark):
+        """IVF: centroid comparisons broadcast (tiny K side); the final
+        candidate join is bucket-pruned, not a corpus crossJoin."""
+        from pdf2gtfs_spark.operators.textops import embedding_ivf_topk
+        plan = _plan(embedding_ivf_topk(spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" \
+            in plan
+        # candidate join on (list_id/query_id/vec_id) is an equi-join
+        assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_interpolation_single_route_exchange(self, spark):
+        """The window chain partitions by route once; the boundary agg
+        joins back as a broadcast."""
+        from pdf2gtfs_spark.operators.locate import locate_interpolation
+        df = locate_interpolation(spark, "/root/testdata/sf0.001")
+        plan = _plan(df)
+        assert "BroadcastHashJoin" in plan
+
+    def test_feed_pruning_is_semi_join(self, spark):
+        from pdf2gtfs_spark.operators.feed import gtfs_feed_pruning
+        plan = _plan(gtfs_feed_pruning(spark, "/root/testdata/sf0.001"))
+        assert "LeftSemi" in plan
+
     def test_whole_stage_codegen_on_relational_path(self, spark):
         """After execution the final adaptive plan shows codegen stages
         and the two window passes share a single hash exchange."""
