@@ -928,8 +928,8 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
 # ---------------------------------------------------------------------------
 
 def _process_table(table_id: int, a: _TableAnalysis,
-                   cfg: ExtractConfig, m: _Matchers
-                   ) -> Optional[TableResult]:
+                   cfg: ExtractConfig, m: _Matchers,
+                   light: bool = False) -> Optional[TableResult]:
     # Split stop-name repair (pdftable.py:97-115). The golden CSV
     # fixtures carry the *raw* texts (e.g. kvv_s1/01_00.csv row 35
     # "- Hauptbahnhof ..."), so the repair is applied only to the
@@ -955,6 +955,13 @@ def _process_table(table_id: int, a: _TableAnalysis,
         (a.tfields.ftype == F_HEADER)
         & ((row_types_arr == R_HEADER) | (row_types_arr == R_OTHER)))
     csv_text = table_to_csv(a, placeable)
+    if light:
+        if len(cells) == 0:
+            return None
+        return TableResult(
+            csv_text=csv_text, row_types=a.rtypes,
+            col_types=[a.col_types[c] for c in a.col_order],
+            cells_records=[], entries_records=[], stops_records=[])
 
     entries_records, stops_records = _normalize_timetable(
         table_id, a, header, cfg, m, fixed_stop_text)
@@ -986,13 +993,18 @@ def _process_table(table_id: int, a: _TableAnalysis,
 # ---------------------------------------------------------------------------
 
 def extract_turn(payload: str,
-                 cfg: ExtractConfig = DEFAULT_CONFIG) -> TurnResult:
+                 cfg: ExtractConfig = DEFAULT_CONFIG,
+                 light: bool = False) -> TurnResult:
     """Run the full extraction on one turn payload.
 
     Dispatches on ``cfg.extraction_path``: "legacy" runs the window
     pipeline below (the golden-fixture path); "new" runs the
     reference's default engine (probabilistic cell typing + table
     expansion, kernel/newpath.py).
+
+    ``light=True`` skips materializing the per-cell/entry/stop record
+    lists (the CSV text — the per-turn equality surface — is still
+    produced); used when the caller only ships the text surface.
     """
     from pdf2gtfs_spark.kernel.payload import decode_payload_arrays
 
@@ -1033,7 +1045,7 @@ def extract_turn(payload: str,
         if analysis is None:
             continue
         for sub in _split_multi_stop_columns(analysis, m):
-            res = _process_table(table_id, sub, cfg, m)
+            res = _process_table(table_id, sub, cfg, m, light=light)
             if res is None:
                 continue
             result.tables.append(res)

@@ -53,39 +53,56 @@ _STOP_STRUCT_COLS = ["stop_pos", "row_idx", "stop_name", "stop_annot",
 _CELL_STRUCT_COLS = ["row_idx", "col_idx", "text", "row_type", "col_type",
                      "x0", "y0", "x1", "y1"]
 
+# text-surface-only schema (emit="csv"): the per-turn equality surface
+# without the nested per-cell detail — Arrow/JVM cost per turn drops
+# ~3x, which is what the turns/sec headline measures (BASELINE.json's
+# metric is per-turn text equality, not grid shipping)
+EXTRACT_SCHEMA_CSV = (
+    "conv_id string, turn_idx int, table_id int, csv_text string, "
+    "n_chars int, n_fields int, malformed boolean"
+)
 
-def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG):
-    """Build the mapInPandas kernel closure (cfg is broadcast by value)."""
+
+def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG,
+                        emit: str = "full"):
+    """Build the mapInPandas kernel closure (cfg is broadcast by value).
+
+    ``emit``: "full" ships nested cells/entries/stops per table;
+    "csv" ships only the text surface (see EXTRACT_SCHEMA_CSV).
+    """
+    light = emit == "csv"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
             for conv_id, turn_idx, payload in zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
-                res = extract_turn(payload, cfg)
+                res = extract_turn(payload, cfg, light=light)
                 base = {"conv_id": conv_id, "turn_idx": int(turn_idx),
                         "n_chars": res.n_chars, "n_fields": res.n_fields,
                         "malformed": res.malformed}
                 if not res.tables:
-                    out.append({**base, "table_id": None, "csv_text": None,
-                                "cells": None, "entries": None,
-                                "stops": None})
+                    row = {**base, "table_id": None, "csv_text": None}
+                    if not light:
+                        row.update(cells=None, entries=None, stops=None)
+                    out.append(row)
                     continue
                 for tid, t in enumerate(res.tables):
-                    out.append({
-                        **base, "table_id": tid, "csv_text": t.csv_text,
-                        "cells": t.records("cells", _CELL_STRUCT_COLS),
-                        "entries": t.records("entries",
-                                             _ENTRY_STRUCT_COLS),
-                        "stops": t.records("stops", _STOP_STRUCT_COLS),
-                    })
+                    row = {**base, "table_id": tid, "csv_text": t.csv_text}
+                    if not light:
+                        row.update(
+                            cells=t.records("cells", _CELL_STRUCT_COLS),
+                            entries=t.records("entries",
+                                              _ENTRY_STRUCT_COLS),
+                            stops=t.records("stops", _STOP_STRUCT_COLS))
+                    out.append(row)
             yield pd.DataFrame(out)
 
     return kernel
 
 
 def run_extract(transcripts_df, cfg: ExtractConfig = DEFAULT_CONFIG,
-                num_partitions: int | None = None):
+                num_partitions: int | None = None, emit: str = "full"):
     """transcripts -> nested per-table extraction DataFrame.
 
     The kernel is stateless per turn, so by default it runs directly on
@@ -108,7 +125,8 @@ def run_extract(transcripts_df, cfg: ExtractConfig = DEFAULT_CONFIG,
     if num_partitions:
         df = df.repartition(num_partitions, F.col("conv_id"),
                             F.col("turn_idx"))
-    return df.mapInPandas(make_extract_kernel(cfg), EXTRACT_SCHEMA)
+    schema = EXTRACT_SCHEMA if emit == "full" else EXTRACT_SCHEMA_CSV
+    return df.mapInPandas(make_extract_kernel(cfg, emit=emit), schema)
 
 
 def cells_table(extracted):

@@ -37,10 +37,15 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ,
                SPARK_GRAFT_CPUS=str(cpus),
                SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_BENCH_TURNS="3072",
+               # enough turns that the measured pass runs >= ~20s at
+               # the high level: after the r2 kernel speedup (7x),
+               # 3072 turns finished in ~5s and fixed stage overhead
+               # (scheduling, noop-commit) dominated the ratio
+               SPARK_GRAFT_BENCH_TURNS="16384",
                # scaling runs measure extraction only; the operator
                # suite is benched separately by the driver's bench.py
-               SPARK_GRAFT_BENCH_QUERIES="0")
+               SPARK_GRAFT_BENCH_QUERIES="0",
+               SPARK_GRAFT_BENCH_NEWPATH="0")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True)
@@ -51,11 +56,28 @@ def run_level(cpus: int, sf_dir: str) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     lo, hi = 2, 8
-    r_lo = run_level(lo, sf_dir)
-    r_hi = run_level(hi, sf_dir)
+    # The sandbox host's available CPU drifts over minutes (co-tenant
+    # steal; single-level throughput varies ~30% between windows), so
+    # a slow window during either level fabricates an efficiency loss
+    # that has nothing to do with the job. Run the two levels
+    # back-to-back as a ROUND (tight pairing), repeat, and report the
+    # median round's efficiency; all rounds are published below.
+    runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    rounds = []
+    for _ in range(runs):
+        r_lo_i = run_level(lo, sf_dir)
+        r_hi_i = run_level(hi, sf_dir)
+        eff_i = (r_hi_i["extract_turns_per_sec"]
+                 / r_lo_i["extract_turns_per_sec"]) / (hi / lo)
+        rounds.append((eff_i, r_lo_i, r_hi_i))
+    rounds.sort(key=lambda t: t[0])
+    eff, r_lo, r_hi = rounds[len(rounds) // 2]
     tps_lo = r_lo["extract_turns_per_sec"]
     tps_hi = r_hi["extract_turns_per_sec"]
-    eff = (tps_hi / tps_lo) / (hi / lo)
+    all_rounds = [{"efficiency": round(e, 3),
+                   "tps_lo": rl["extract_turns_per_sec"],
+                   "tps_hi": rh["extract_turns_per_sec"]}
+                  for e, rl, rh in rounds]
 
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
@@ -77,9 +99,17 @@ parallelism levels, fresh JVM each.
 | 4N | local[{hi}] | {tps_hi} | {r_hi['queries']['extract_pipeline']} |
 
 **Scaling efficiency = (tps_4N / tps_N) / 4 = {eff:.3f}**
-(target >= 0.8; match-rate vs ground truth = 1.0, enforced by
+(median round of {len(rounds)}; target >= 0.8; match-rate vs ground
+truth = 1.0, enforced by
 tests/test_pipeline.py::test_match_rate_is_one and the lineage
 metrics)
+
+All rounds (levels run back-to-back per round; host CPU availability
+drifts between windows):
+
+```json
+{json.dumps(all_rounds)}
+```
 
 ## Operator suite at {r_hi['sf']} (local[{hi}])
 
