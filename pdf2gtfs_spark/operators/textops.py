@@ -141,7 +141,11 @@ ORDER BY doc_a, doc_b
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    sh = _shingles_spark(d).cache()
+    # NOT cached: the shingle stream is ~2k rows/doc — caching it
+    # deserialized holds GBs of storage memory for the rest of the
+    # session (measured: the *following* suite queries slowed 3-10x),
+    # while recomputing explode+substring is cheap codegen work.
+    sh = _shingles_spark(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     wdf = Window.partitionBy("shingle")
     capped = (sh.withColumn("df", F.count("*").over(wdf))
