@@ -62,6 +62,68 @@ class Typer:
                 self.strict[r, c] = s.strict_type(g.cells[r][c])
         self.empty = np.array(
             [[s.is_empty[i] for i in row] for row in g.cells], dtype=bool)
+        # O(1) series-type lookups: per-row/col strict-type counts,
+        # kept incrementally up to date by _set_strict during sweeps
+        from pdf2gtfs_spark.kernel.celltypes import N_TYPES
+        self._rc = np.zeros((R, N_TYPES), dtype=np.int32)
+        self._cc = np.zeros((C, N_TYPES), dtype=np.int32)
+        for r in range(R):
+            for c in range(C):
+                t = self.strict[r, c]
+                self._rc[r, t] += 1
+                self._cc[c, t] += 1
+        # per-cell bbox cache (EmptyCell bboxes derive from row/col
+        # stripes — recomputing the stripe unions per query dominated
+        # the sweep); geometry is static during a sweep
+        col_stripes = [g.col_stripe(c) for c in range(C)]
+        row_stripes = [g.row_stripe(r) for r in range(R)]
+        self.bbox_arr = np.full((R, C, 4), np.nan)
+        for r in range(R):
+            rs = row_stripes[r]
+            for c in range(C):
+                i = g.cells[r][c]
+                if not s.is_empty[i]:
+                    self.bbox_arr[r, c] = (s.x0[i], s.y0[i],
+                                           s.x1[i], s.y1[i])
+                else:
+                    cs = col_stripes[c]
+                    if cs is not None and rs is not None:
+                        self.bbox_arr[r, c] = (cs[0], rs[1], cs[2], rs[3])
+        # first-non-empty neighbor index per direction (emptiness is
+        # static during a sweep; mutators call refresh())
+        self._fne = np.full((R, C, 4), -1, dtype=np.int32)  # N,S,W,E
+        for c in range(C):
+            last = -1
+            for r in range(R):
+                self._fne[r, c, 0] = last
+                if not self.empty[r, c]:
+                    last = r
+            last = -1
+            for r in range(R - 1, -1, -1):
+                self._fne[r, c, 1] = last
+                if not self.empty[r, c]:
+                    last = r
+        for r in range(R):
+            last = -1
+            for c in range(C):
+                self._fne[r, c, 2] = last
+                if not self.empty[r, c]:
+                    last = c
+            last = -1
+            for c in range(C - 1, -1, -1):
+                self._fne[r, c, 3] = last
+                if not self.empty[r, c]:
+                    last = c
+
+    def _set_strict(self, r: int, c: int, t: int) -> None:
+        old = self.strict[r, c]
+        if old == t:
+            return
+        self.strict[r, c] = t
+        self._rc[r, old] -= 1
+        self._rc[r, t] += 1
+        self._cc[c, old] -= 1
+        self._cc[c, t] += 1
 
     # -- primitive queries -------------------------------------------------
 
@@ -76,16 +138,16 @@ class Typer:
         return None
 
     def first_nonempty(self, r: int, c: int, d: int) -> Optional[tuple]:
-        pos = self.direct(r, c, d)
-        while pos is not None and self.empty[pos]:
-            pos = self.direct(pos[0], pos[1], d)
-        return pos
+        k = self._fne[r, c, d]
+        if k < 0:
+            return None
+        return (k, c) if d in (N, S) else (r, k)
 
     def row_has(self, r: int, t: int) -> bool:
-        return bool((self.strict[r, :] == t).any())
+        return bool(self._rc[r, t] > 0)
 
     def col_has(self, c: int, t: int) -> bool:
-        return bool((self.strict[:, c] == t).any())
+        return bool(self._cc[c, t] > 0)
 
     def neighbor_has(self, r: int, c: int, t: int, direct: bool = False,
                      dirs: tuple = _DIRS) -> bool:
@@ -155,8 +217,8 @@ class Typer:
         for (rr, cc) in self._series(r, c, o):
             if not self._normal_series_has_time(rr, cc, o):
                 continue
-            b = self.g.cell_bbox(rr, cc)
-            if b is None:
+            b = self.bbox_arr[rr, cc]
+            if math.isnan(b[0]):
                 continue
             coords.append(b[0] if o == V else b[1])
         if not coords:
@@ -391,7 +453,7 @@ class Typer:
         if best_t is None:
             best_t = OTHER
         s.inferred[i] = best_t
-        self.strict[r, c] = best_t
+        self._set_strict(r, c, best_t)
 
     def infer_all(self) -> None:
         """Column-major sweep; each cell sees earlier cells' inferred
@@ -486,8 +548,9 @@ def merge_consecutive_days(ty: Typer) -> None:
                 j = g.cells[pos[0]][pos[1]]
                 s.text[i] += " " + s.text[j]
                 g.cells[pos[0]][pos[1]] = s.add_empty()
-                ty.strict[pos] = EMPTY
-                ty.empty[pos] = True
+                # emptiness changed -> neighbor index/count caches must
+                # rebuild before the next first_nonempty walk
+                ty.refresh()
 
 
 def days_rows(ty: Typer) -> list[list[tuple]]:

@@ -147,9 +147,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # while recomputing explode+substring is cheap codegen work.
     sh = _shingles_spark(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    wdf = Window.partitionBy("shingle")
-    capped = (sh.withColumn("df", F.count("*").over(wdf))
-              .where("df <= 64").drop("df"))
+    # df cap via hash aggregate + left_semi join: a count() window
+    # SORTS the whole shingle stream per partition, while the
+    # aggregate is map-side partial and the rare-shingle keeper set
+    # joins back as a plain equi join (same df<=64 semantics as the
+    # oracle's window formulation)
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .where("df <= 64").select("shingle"))
+    capped = sh.join(rare, "shingle", "left_semi")
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
