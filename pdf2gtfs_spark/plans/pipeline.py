@@ -75,12 +75,16 @@ def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            for conv_id, turn_idx, payload in zip(
-                    pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+            # optional event-time passthrough (streaming reassembly)
+            tss = pdf["ts"] if "ts" in pdf.columns else None
+            for k, (conv_id, turn_idx, payload) in enumerate(zip(
+                    pdf["conv_id"], pdf["turn_idx"], pdf["text"])):
                 res = extract_turn(payload, cfg, light=light)
                 base = {"conv_id": conv_id, "turn_idx": int(turn_idx),
                         "n_chars": res.n_chars, "n_fields": res.n_fields,
                         "malformed": res.malformed}
+                if tss is not None:
+                    base["ts"] = tss.iloc[k]
                 if not res.tables:
                     row = {**base, "table_id": None, "csv_text": None}
                     if not light:

@@ -37,3 +37,57 @@ class TestAvailableNow:
         # re-run with no new files: nothing added
         stream_extract(spark, inp, out, ckpt)
         assert spark.read.parquet(out).count() == n2
+
+
+class TestStatefulReassembly:
+    def test_conversations_emit_after_watermark_gap(self, spark, tmp_path):
+        from datetime import timedelta
+
+        from pdf2gtfs_spark.plans.pipeline import (
+            EXTRACT_SCHEMA_CSV, make_extract_kernel,
+            reassemble_conversations, run_extract,
+        )
+        from pdf2gtfs_spark.streaming.stateful import stream_reassemble
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        t1, _ = generate_transcripts(n_convs=2, base_turns=2, skew_every=0,
+                                     include_fixtures=False)
+        tdf = spark.createDataFrame(t1, TRANSCRIPT_DDL)
+        tdf.write.mode("append").parquet(inp)
+
+        def run_once():
+            stream = (spark.readStream.schema(TRANSCRIPT_DDL).parquet(inp)
+                      .select("conv_id", "turn_idx", "text", "ts"))
+            extracted = stream.mapInPandas(
+                make_extract_kernel(emit="csv"),
+                EXTRACT_SCHEMA_CSV + ", ts timestamp")
+            q = (stream_reassemble(extracted).writeStream
+                 .format("parquet").option("path", out)
+                 .option("checkpointLocation", ckpt)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination(180)
+            q.stop()
+
+        run_once()   # turns ingested into state (watermark not passed)
+        # a much later file advances the event-time watermark past the
+        # first conversations' last ts + gap -> they close and emit
+        t2, _ = generate_transcripts(n_convs=1, base_turns=2, skew_every=0,
+                                     include_fixtures=False)
+        t2 = t2.assign(conv_id=t2["conv_id"] + "_late",
+                       ts=t2["ts"] + timedelta(hours=2))
+        spark.createDataFrame(t2, TRANSCRIPT_DDL).write.mode(
+            "append").parquet(inp)
+        run_once()
+        docs = {r["conv_id"]: r for r in spark.read.parquet(out).collect()}
+        batch = {r["conv_id"]: r for r in reassemble_conversations(
+            run_extract(tdf.select("conv_id", "turn_idx", "text"))
+        ).collect()}
+        # the first-batch conversations emitted and match the batch
+        # reassembly byte for byte (state survived across restarts)
+        assert set(batch).issubset(set(docs))
+        for cid, b in batch.items():
+            assert docs[cid]["conversation_doc"] == b["conversation_doc"]
+            assert docs[cid]["n_turns"] == b["n_turns"]
