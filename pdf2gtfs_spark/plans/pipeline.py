@@ -64,19 +64,20 @@ EXTRACT_SCHEMA_CSV = (
 
 
 def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG,
-                        emit: str = "full"):
+                        emit: str = "full", with_ts: bool = False):
     """Build the mapInPandas kernel closure (cfg is broadcast by value).
 
     ``emit``: "full" ships nested cells/entries/stops per table;
     "csv" ships only the text surface (see EXTRACT_SCHEMA_CSV).
+    ``with_ts``: pass event time through (streaming reassembly); the
+    caller's output schema must then include a ``ts`` field.
     """
     light = emit == "csv"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
-            # optional event-time passthrough (streaming reassembly)
-            tss = pdf["ts"] if "ts" in pdf.columns else None
+            tss = pdf["ts"] if with_ts else None
             for k, (conv_id, turn_idx, payload) in enumerate(zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"])):
                 res = extract_turn(payload, cfg, light=light)

@@ -278,6 +278,22 @@ class TestVagLikeLayout:
         res = extract_turn(payload)  # default legacy config
         assert res.tables[0].csv_text == expected
 
+    def test_newpath_csv_snapshot_stable(self):
+        """Regression pin: the new path's CSV output on the golden
+        fixture payloads is deterministic and must not drift silently
+        (real-PDF parity is unverifiable in this sandbox — no pdfminer
+        — so the snapshot guards refactors; see ROADMAP #4)."""
+        import hashlib
+        expected = {
+            "vag_1/01_00.csv": "8b57415238235a262ac4882fcc26752b",
+            "kvv_s1/01_00.csv": "1793dd2227da60a154ee2ee9f13e58e8",
+        }
+        for name, payload, _ in fixture_turns():
+            res = extract_turn(payload, NEW_CFG)
+            h = hashlib.md5("\x1d".join(
+                t.csv_text for t in res.tables).encode()).hexdigest()
+            assert h == expected[name], name
+
     def test_transposed_orientation(self):
         # stops across the top ROW, trips as rows (the new engine's
         # "regardless of Orientation" claim, table.py:1 + find_stops)

@@ -62,7 +62,7 @@ class TestStatefulReassembly:
             stream = (spark.readStream.schema(TRANSCRIPT_DDL).parquet(inp)
                       .select("conv_id", "turn_idx", "text", "ts"))
             extracted = stream.mapInPandas(
-                make_extract_kernel(emit="csv"),
+                make_extract_kernel(emit="csv", with_ts=True),
                 EXTRACT_SCHEMA_CSV + ", ts timestamp")
             q = (stream_reassemble(extracted).writeStream
                  .format("parquet").option("path", out)
