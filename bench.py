@@ -31,7 +31,8 @@ BENCH_QUERIES = [
     "asof_last_click_before_purchase", "dedup_exact",
     "dedup_ngram_jaccard", "minhash_lsh_pairs", "simhash_fingerprints",
     "embedding_cosine_topk", "embedding_ivf_topk", "langid_stopword_vote",
-    "quality_score", "doc_fingerprint", "locate_travel_cost",
+    "quality_score", "doc_fingerprint", "training_data_clean",
+    "locate_travel_cost",
     "locate_interpolation", "locate_name_cost",
 ]
 

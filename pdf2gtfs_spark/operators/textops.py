@@ -657,3 +657,138 @@ def doc_fingerprint(spark, sf_dir):
                 "cast(idx % 8 as string))), 1, 15), 16, 10) as bigint))")
                 .alias("fingerprint"))
             .orderBy("doc_id"))
+
+
+# --- near-dup clustering: connected components over candidate pairs ----------
+# The dedup pair generators (jaccard/LSH) emit edges; picking ONE
+# keeper per duplicate CLUSTER needs the transitive closure. Shape:
+# iterative min-label propagation over the edge list — each round is
+# one join + aggregate (no driver-side graph), rounds = O(cluster
+# diameter), which for near-dup clusters is tiny. The oracle is a
+# DuckDB recursive CTE computing the same min-reachable-id labels.
+@register("dedup_connected_components", oracle=f"""
+WITH RECURSIVE shingles AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
+capped AS (
+  SELECT shingle, doc_id FROM (
+    SELECT shingle, doc_id, count(*) OVER (PARTITION BY shingle) AS df
+    FROM shingles) WHERE df <= 64
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE 1000.0 * n_common
+        / (sa.n_shingles + sb.n_shingles - n_common) >= 150
+),
+sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach AS (
+  SELECT src AS doc_id, src AS label FROM sym
+  UNION
+  SELECT s.dst, r.label
+  FROM reach r JOIN sym s ON s.src = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id
+FROM reach GROUP BY doc_id ORDER BY doc_id
+""")
+def dedup_connected_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    # localCheckpoint truncates lineage: without it every propagation
+    # round (and its convergence probe) would re-run the whole
+    # shingle->pair pipeline, and the loop's plan would grow
+    # exponentially (measured 54s -> ~8s at sf0.01)
+    edges = (dedup_ngram_jaccard(spark, sf_dir)
+             .select("doc_a", "doc_b").localCheckpoint())
+    sym = (edges.selectExpr("doc_a AS src", "doc_b AS dst")
+           .unionByName(edges.selectExpr("doc_b AS src", "doc_a AS dst")))
+    labels = (sym.select(F.col("src").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint())
+    # min-label propagation to fixpoint; near-dup cluster diameters
+    # are tiny so this loops 2-4 times; each round = one shuffle join
+    for _ in range(20):
+        prop = (sym.join(labels,
+                         sym.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        nxt = (labels.join(prop, "doc_id", "left")
+               .select("doc_id",
+                       F.least("cluster_id",
+                               F.coalesce("nbr_min", "cluster_id"))
+                       .alias("cluster_id"))
+               .localCheckpoint())
+        changed = (nxt.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .limit(1).count())
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+# --- composed cleaning pipeline (quality + langid + dedup keeper) ------------
+# End-to-end training-data filter: keep docs that pass the quality
+# gate, vote English, and are their exact-dup group's keeper — the
+# composition the single-op queries exist for. One scan feeds three
+# cheap column pipelines plus one hash-dedup shuffle.
+def _clean_oracle() -> str:
+    toks = _TOKENS_SQL.format(expr="lower(text)")
+    toks_t = _TOKENS_SQL.format(expr="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok FROM documents
+), hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS n_hits
+  FROM toks t JOIN (VALUES {_MARKER_ROWS}) m(lang, w) ON t.tok = m.w
+  GROUP BY 1, 2
+), best AS (
+  SELECT doc_id, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n_hits DESC, lang) AS rk
+    FROM hits) WHERE rk = 1
+), quality AS (
+  SELECT doc_id,
+         len({toks_t}) AS n_tokens,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+         length(text) AS n_chars
+  FROM documents
+), keeper AS (
+  SELECT md5(text) AS h, min(doc_id) AS keeper_doc_id
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id
+FROM documents d
+JOIN keeper k ON md5(d.text) = k.h AND k.keeper_doc_id = d.doc_id
+JOIN quality q ON q.doc_id = d.doc_id
+JOIN best b ON b.doc_id = d.doc_id
+WHERE q.n_tokens >= 20 AND 1000.0 * q.n_punct / q.n_chars < 100
+  AND b.lang = 'en'
+ORDER BY d.doc_id
+"""
+
+
+@register("training_data_clean", oracle=_clean_oracle())
+def training_data_clean(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    lang = langid_stopword_vote(spark, sf_dir).where(
+        "guessed_lang = 'en'").select("doc_id")
+    q = quality_score(spark, sf_dir).where(
+        "passes_quality = 1").select("doc_id")
+    keeper = (d.groupBy(F.md5("text").alias("h"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    return (d.select("doc_id")
+            .join(keeper.select("doc_id"), "doc_id", "left_semi")
+            .join(q, "doc_id", "left_semi")
+            .join(lang, "doc_id", "left_semi")
+            .orderBy("doc_id"))
