@@ -160,3 +160,88 @@ def weekday_header_mapping(spark, sf_dir):
                     F.when(F.col("days").contains("0"), 1).otherwise(0)
                     .alias("runs_monday"))
             .orderBy("event_id"))
+
+
+# --- §2.10 probabilistic guess_type: kernel vs SQL ---------------------------
+# The Spark side runs the REAL new-path kernel (celltypes.guess_list +
+# strict_guess, i.e. CellType.guess_type incl. dict-insertion-order
+# argmax) in an Arrow batch over the documents corpus; DuckDB
+# recomputes the indicator ladder, the probability normalization
+# (round to 3 decimals) and the tie-break order independently in SQL.
+_GUESS_SCHEMA = ("doc_id bigint, top_type string, top_p_millis int, "
+                 "fallback int")
+
+
+def _guess_kernel(batches):
+    import pandas as pd
+
+    from pdf2gtfs_spark.kernel import celltypes as ct
+
+    m = ct.TypeMatchers()
+    for pdf in batches:
+        texts = [t.strip() for t in pdf["text"]]
+        P, fb = m.guess_list(texts)
+        top = ct.strict_guess(P, fb)
+        out = pd.DataFrame({
+            "doc_id": pdf["doc_id"].values,
+            "top_type": [ct.TYPE_NAMES[t] for t in top],
+            "top_p_millis": [int(round(1000 * P[i, t]))
+                             for i, t in enumerate(top)],
+            "fallback": fb.astype(int),
+        })
+        yield out
+
+
+@register("celltype_guess_probs", oracle=r"""
+WITH g AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+), ind AS (
+  SELECT doc_id,
+    CASE WHEN regexp_matches(t, '^(\d{1,2})\.(\d{1,2})$')
+          AND CAST(regexp_extract(t, '^(\d{1,2})\.(\d{1,2})$', 1) AS INT)
+              <= 23
+          AND CAST(regexp_extract(t, '^(\d{1,2})\.(\d{1,2})$', 2) AS INT)
+              <= 59
+         THEN 1 ELSE 0 END AS i_time,
+    CASE WHEN lower(t) IN ('montag - freitag', 'samstag', 'sonntag',
+                           'sonn- und feiertag', 'sonn- / feiertag')
+         THEN 1 ELSE 0 END AS i_days,
+    CASE WHEN lower(t) IN ('alle', 'min', 'min.') THEN 1 ELSE 0
+         END AS i_repeat,
+    CASE WHEN lower(t) IN ('an', 'ab') THEN 1 ELSE 0 END AS i_stopannot,
+    CASE WHEN lower(t) IN ('linie', 'zugnummer', 'fahrtnummer')
+         THEN 1 ELSE 0 END AS i_route,
+    CASE WHEN lower(t) IN ('verkehrshinweis', 'verkehrsbeschränkung',
+                           'verkehrshinweise') THEN 1 ELSE 0
+         END AS i_annot,
+    CASE WHEN regexp_matches(t, '^\S+\s?[:=]\s?\S+$') THEN 1 ELSE 0
+         END AS i_legend
+  FROM g
+), scored AS (
+  SELECT doc_id,
+         i_time + i_days + i_repeat + i_stopannot + i_route + i_annot
+           + i_legend AS n_fired,
+         i_time, i_days, i_repeat, i_stopannot, i_route, i_annot, i_legend
+  FROM ind
+)
+SELECT doc_id,
+  CASE WHEN n_fired = 0 THEN 'Other'
+       WHEN i_time = 1 THEN 'Time'
+       WHEN i_days = 1 THEN 'Days'
+       WHEN i_repeat = 1 THEN 'RepeatIdent'
+       WHEN i_stopannot = 1 THEN 'StopAnnot'
+       WHEN i_route = 1 THEN 'RouteAnnotIdent'
+       WHEN i_annot = 1 THEN 'EntryAnnotIdent'
+       ELSE 'LegendIdent' END AS top_type,
+  CAST(CASE WHEN n_fired = 0
+            THEN round(1000 * round(2.0 / 9, 3))
+            ELSE round(1000 * round(1.0 / (n_fired + 0.5), 3))
+       END AS INT) AS top_p_millis,
+  CASE WHEN n_fired = 0 THEN 1 ELSE 0 END AS fallback
+FROM scored ORDER BY doc_id
+""")
+def celltype_guess_probs(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    return (d.mapInPandas(_guess_kernel, _GUESS_SCHEMA)
+            .orderBy("doc_id"))
