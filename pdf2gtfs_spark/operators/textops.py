@@ -228,6 +228,10 @@ GROUP BY 1, 2 ORDER BY doc_a, doc_b
 """)
 def minhash_lsh_pairs(spark, sf_dir):
     sigs = minhash_signatures(spark, sf_dir)
+    # localCheckpoint: the band frame is tiny (3 rows/doc) but its
+    # lineage is the whole shingle->signature pipeline; without
+    # truncation the self-join below evaluates that pipeline for both
+    # sides (4 parquet scans in the plan, no guaranteed exchange reuse)
     bands = (sigs.withColumn("band", (F.col("k") / 2).cast("int"))
              .groupBy("doc_id", "band")
              .agg(F.md5(F.array_join(
@@ -235,6 +239,7 @@ def minhash_lsh_pairs(spark, sf_dir):
                      F.array_sort(F.collect_list(F.struct("k", "minhash"))),
                      lambda s: s["minhash"].cast("string")),
                  ",")).alias("band_key")))
+    bands = bands.localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
