@@ -77,6 +77,45 @@ class TestTimeRegexEquivalence:
         assert gtfs_to_seconds(seconds_to_gtfs(seconds)) == seconds
 
 
+class TestNewPathNeverCrashes:
+    """At 10^12 turns every geometry the generator can produce must
+    extract without raising (degraded output is fine; a dead executor
+    task is not)."""
+
+    @given(st.lists(st.tuples(
+        st.sampled_from(["9.15", "10.00", "an", "ab", "alle", "15",
+                         "Min.", "Samstag", "Sonn-", "und", "Feiertag",
+                         "Haltestelle Nord", "x=1", "V", "Linie", "S1",
+                         "7", "99.99", "-", ","]),
+        st.integers(0, 60).map(lambda k: 40.0 + 5 * k),
+        st.integers(0, 40).map(lambda k: 50.0 + 10 * k)),
+        min_size=0, max_size=60))
+    @settings(max_examples=60, deadline=None)
+    def test_random_layouts(self, cells):
+        import dataclasses
+
+        from pdf2gtfs_spark.config import DEFAULT_CONFIG
+        from pdf2gtfs_spark.kernel.extract import extract_turn
+        from pdf2gtfs_spark.sources.transcripts import cells_to_payload
+
+        # de-overlap identical anchor points (last wins, like a PDF
+        # would never produce two glyphs at one spot)
+        uniq = {}
+        for text, x, y in cells:
+            uniq[(x, y)] = text
+        cells = [(t, x, y) for (x, y), t in uniq.items()]
+        if not cells:
+            return
+        payload = cells_to_payload(cells)
+        for path in ("legacy", "new"):
+            cfg = dataclasses.replace(DEFAULT_CONFIG, extraction_path=path)
+            res = extract_turn(payload, cfg)
+            assert not res.malformed
+            for t in res.tables:
+                assert t.csv_text.endswith("\n")
+                assert (t.stops["stop_pos"] >= 0).all()
+
+
 class TestNormalizeIdempotent:
     @given(_TEXT)
     @settings(max_examples=150, deadline=None)
