@@ -127,7 +127,16 @@ Raw JSON:
 {json.dumps(r_hi)}
 ```
 """
-    (bench_dir / "BASELINE.md").write_text(md)
+    # preserve hand-curated sections appended after the generated part
+    # (e.g. the full operator-suite run recorded from bench.py)
+    out_path = bench_dir / "BASELINE.md"
+    extra = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        marker = "\n## Full operator suite"
+        if marker in old:
+            extra = "\n" + old[old.index(marker):].lstrip("\n")
+    out_path.write_text(md + extra)
     print(json.dumps({"tps_lo": tps_lo, "tps_hi": tps_hi,
                       "efficiency": round(eff, 3)}))
 
