@@ -190,15 +190,26 @@ FROM shingles, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
 GROUP BY doc_id, k ORDER BY doc_id, k
 """)
 def minhash_signatures(spark, sf_dir):
+    # One pass over the shingle stream: the K hash functions are K
+    # min() expressions inside a single groupBy(doc_id) — no
+    # crossJoin row multiplication (the K x blowup would shuffle K x
+    # the shingle bytes at 100 TB). The map-side partial agg reduces
+    # each scan split to <=1 row/doc before the exchange; the long
+    # (doc_id, k, minhash) output shape is rebuilt doc-grain via
+    # inline explode (K rows per *doc*, not per shingle).
     d = _t(spark, sf_dir, "documents")
     sh = _shingles_spark(d)
-    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
-    hashed = sh.crossJoin(F.broadcast(ks)).select(
-        "doc_id", "k",
-        _md5int_spark(F.concat(F.col("k").cast("string"), F.lit("#"),
-                               F.col("shingle"))).alias("h"))
-    return (hashed.groupBy("doc_id", "k")
-            .agg(F.min("h").alias("minhash"))
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(_md5int_spark(
+            F.concat(F.lit(f"{k}#"), F.col("shingle")))).alias(f"h{k}")
+        for k in range(_MINHASH_K)])
+    return (mins.select(
+                "doc_id",
+                F.explode(F.array(*[
+                    F.struct(F.lit(k).cast("int").alias("k"),
+                             F.col(f"h{k}").alias("minhash"))
+                    for k in range(_MINHASH_K)])).alias("s"))
+            .select("doc_id", "s.k", "s.minhash")
             .orderBy("doc_id", "k"))
 
 
