@@ -307,7 +307,9 @@ def build_calendar(entries: DataFrame) -> DataFrame:
 #   BOTH engines run the rollover/fold/sequence window chain on that
 #   same parquet -> checks the relational tail's window semantics.
 
-from pdf2gtfs_spark.operators._aux import aux_path, write_aux_pandas
+from pdf2gtfs_spark.operators._aux import (aux_glob, aux_path,
+                                            write_aux_pandas,
+                                            write_aux_spark)
 
 _SYNTH_PARAMS = dict(n_convs=3, base_turns=2, skew_every=0)
 
@@ -395,7 +397,8 @@ def extract_cells_newpath(spark, sf_dir):
             .orderBy(*keys))
 
 
-_ST_PARQUET = aux_path("gtfs_entries.parquet")
+_ST_PARQUET = aux_path("gtfs_entries.parquet")   # Spark-written dir
+_ST_GLOB = aux_glob("gtfs_entries.parquet")      # DuckDB-side glob
 _ST_TIME_RE = r"^(\d{1,2})\.(\d{1,2})$"
 
 
@@ -408,7 +411,7 @@ WITH e AS (
                  + CAST(regexp_extract(replace(value, ' ', ''),
                         '{_ST_TIME_RE}', 2) AS INT) * 60
               ELSE 0 END AS day_seconds
-  FROM read_parquet('{_ST_PARQUET}')
+  FROM read_parquet('{_ST_GLOB}')
   WHERE NOT is_connection
 ), flagged AS (
   SELECT *, CASE WHEN day_seconds < lag(day_seconds) OVER w
@@ -463,9 +466,10 @@ def gtfs_stop_times_pipeline(spark, sf_dir):
                        "entry_id", "kind", "stop_pos", "stop_name",
                        "normalized_name", "value",
                        F.coalesce("is_connection", F.lit(False))
-                       .alias("is_connection"))
-               .toPandas())
-    write_aux_pandas("gtfs_entries.parquet", handoff)
+                       .alias("is_connection")))
+    # executor-side handoff: write.parquet, never toPandas — at 100 TB
+    # the entries frame does not fit on the driver (VERDICT r2 #2)
+    write_aux_spark("gtfs_entries.parquet", handoff)
     ent = spark.read.parquet(_ST_PARQUET)
     stops = build_stops(ent)
     st = build_stop_times(ent, stops)
