@@ -27,5 +27,5 @@ def register(name: str, oracle: Optional[str] = None):
 def load_all() -> None:
     """Import all operator modules so their registrations run."""
     from pdf2gtfs_spark.operators import (  # noqa: F401
-        feed, gtfs, locate, multimodal, relational, scalars, textops,
+        feed, gtfs, locate, multimodal, osm, relational, scalars, textops,
     )
