@@ -280,9 +280,13 @@ class TestVagLikeLayout:
 
     def test_newpath_csv_snapshot_stable(self):
         """Regression pin: the new path's CSV output on the golden
-        fixture payloads is deterministic and must not drift silently
-        (real-PDF parity is unverifiable in this sandbox — no pdfminer
-        — so the snapshot guards refactors; see ROADMAP #4)."""
+        fixture payloads is deterministic and must not drift silently.
+
+        These hashes are no longer self-referential: on the same
+        payloads, tests/test_ref_differential.py proves the CSVs are
+        byte-equal to the ACTUAL reference implementation's
+        Table.to_file output (reference engine imported via
+        tests/refcompat), so the pins below are reference-derived."""
         import hashlib
         expected = {
             "vag_1/01_00.csv": "8b57415238235a262ac4882fcc26752b",
