@@ -77,25 +77,27 @@ def decode_payload_arrays(payload: str) -> tuple[PageBox, dict]:
     except ValueError as e:
         raise MalformedPayload(str(e)) from e
     body = payload[nl + 1:] if nl >= 0 else ""
-    x0, y0, x1, y1, text = [], [], [], [], []
+    recs = [ln.split("\t") for ln in body.split("\n") if ln]
+    if not recs:
+        return page, {
+            "x0": np.empty(0), "y0": np.empty(0),
+            "x1": np.empty(0), "y1": np.empty(0),
+            "text": np.empty(0, dtype=object),
+        }
     try:
-        for line in body.split("\n"):
-            if not line:
-                continue
-            a, b, c, d, t = line.split("\t")
-            x0.append(float(a))
-            y0.append(float(b))
-            x1.append(float(c))
-            y1.append(float(d))
-            text.append(_fix_cid_text(t) if len(t) > 1 else t)
+        arr = np.array(recs, dtype=object)      # (n, 5)
+        if arr.ndim != 2 or arr.shape[1] != 5:
+            raise ValueError("ragged payload body")
+        coords = arr[:, :4].astype(np.float64)  # C-loop float parse
     except ValueError as e:
         raise MalformedPayload(str(e)) from e
+    text = np.array(
+        [_fix_cid_text(t) if len(t) > 1 else t for t in arr[:, 4]],
+        dtype=object)
     return page, {
-        "x0": np.asarray(x0, dtype=float),
-        "y0": np.asarray(y0, dtype=float),
-        "x1": np.asarray(x1, dtype=float),
-        "y1": np.asarray(y1, dtype=float),
-        "text": np.asarray(text, dtype=object),
+        "x0": coords[:, 0], "y0": coords[:, 1],
+        "x1": coords[:, 2], "y1": coords[:, 3],
+        "text": text,
     }
 
 

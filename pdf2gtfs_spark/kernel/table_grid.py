@@ -45,12 +45,22 @@ V, H = 0, 1  # orientations: V = columns (N/S), H = rows (W/E)
 
 def _olap(a0: float, a1: float, b0: float, b1: float) -> float:
     """1-D overlap length (bbox.py:102-117)."""
-    return max(0.0, min(a1, b1) - max(a0, b0))
+    hi = a1 if a1 < b1 else b1
+    lo = a0 if a0 > b0 else b0
+    d = hi - lo
+    return d if d > 0.0 else 0.0
 
 
 def _is_olap(a0, a1, b0, b1, rel: float) -> bool:
     """bbox.is_h_overlap/is_v_overlap: overlap >= rel * smaller size."""
-    return _olap(a0, a1, b0, b1) >= rel * min(a1 - a0, b1 - b0)
+    hi = a1 if a1 < b1 else b1
+    lo = a0 if a0 > b0 else b0
+    d = hi - lo
+    if d < 0.0:
+        d = 0.0
+    sa = a1 - a0
+    sb = b1 - b0
+    return d >= rel * (sa if sa < sb else sb)
 
 
 @dataclass
@@ -235,12 +245,30 @@ class Grid:
 
     def _union(self, idxs) -> Optional[tuple]:
         s = self.store
-        boxes = [(s.x0[i], s.y0[i], s.x1[i], s.y1[i])
-                 for i in idxs if not s.is_empty[i]]
-        if not boxes:
+        x0s, y0s, x1s, y1s = s.x0, s.y0, s.x1, s.y1
+        emp = s.is_empty
+        ux0 = uy0 = math.inf
+        ux1 = uy1 = -math.inf
+        found = False
+        for i in idxs:
+            if emp[i]:
+                continue
+            found = True
+            v = x0s[i]
+            if v < ux0:
+                ux0 = v
+            v = y0s[i]
+            if v < uy0:
+                uy0 = v
+            v = x1s[i]
+            if v > ux1:
+                ux1 = v
+            v = y1s[i]
+            if v > uy1:
+                uy1 = v
+        if not found:
             return None
-        return (min(b[0] for b in boxes), min(b[1] for b in boxes),
-                max(b[2] for b in boxes), max(b[3] for b in boxes))
+        return (ux0, uy0, ux1, uy1)
 
     def col_stripe(self, c: int) -> Optional[tuple]:
         return self._union(self.col(c))
