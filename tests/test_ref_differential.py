@@ -123,8 +123,9 @@ def repo_grid(tt):
     return rows
 
 
-def assert_equivalent(fields, tmp_path, label="", expect_tables=True):
-    repo_tables = tables_from_fields(fields, NEW_CFG)
+def assert_equivalent(fields, tmp_path, label="", expect_tables=True,
+                      cfg=NEW_CFG):
+    repo_tables = tables_from_fields(fields, cfg)
     ref_tables = run_reference(fields)
     if expect_tables:       # guard against vacuous [] == [] passes
         assert repo_tables, f"{label}: no tables extracted"
@@ -195,6 +196,59 @@ class TestSyntheticLayouts:
                 cells.append((f"{h}.{m:02}", x, 112.0 + r * 10.0))
         assert_equivalent(payload_fields(_payload(cells)), tmp_path,
                           "transposed")
+
+
+class TestDaysBranches:
+    """Targeted duplicate-days / footer-days branches
+    (table.py:810-856 remove_duplicate_days)."""
+
+    def test_footer_days(self, tmp_path):
+        from test_newpath import _block, _payload
+        cells, xs = _block(100.0, n_stops=6)
+        cells.append(("Samstag", xs[0], 100.0 + 6 * 10.0 + 4.0))
+        assert_equivalent(payload_fields(_payload(cells)), tmp_path,
+                          "footer_days")
+
+    def test_second_block_without_days(self, tmp_path):
+        # ref table has days, second table none -> days are duplicated
+        # from the ref table and re-expanded
+        from test_newpath import _block, _payload
+        b1, xs1 = _block(100.0, n_stops=6)
+        b2, _ = _block(200.0, n_stops=6)
+        cells = b1 + b2
+        cells.append(("Sonntag", xs1[0], 86.0))
+        assert_equivalent(payload_fields(_payload(cells)), tmp_path,
+                          "no_days_second")
+
+    def test_header_and_footer_days(self, tmp_path):
+        # two Days rows in one table -> only one survives, chosen by
+        # the ref table's days position (first half vs last half)
+        from test_newpath import _block, _payload
+        cells, xs = _block(100.0, n_stops=6)
+        cells.append(("Samstag", xs[0], 86.0))
+        cells.append(("Sonntag", xs[0], 100.0 + 6 * 10.0 + 4.0))
+        assert_equivalent(payload_fields(_payload(cells)), tmp_path,
+                          "hdr_ftr_days")
+
+
+class TestMergeSplitTables:
+    """merge_split_tables=True path: max_split fragments re-merged
+    side-by-side (table.py:899-938, 1261-1308)."""
+
+    def test_side_by_side_merge(self, tmp_path):
+        from test_newpath import _block, _payload
+        ref = load_reference()
+        Config = ref["Config"]
+        cfg = dataclasses.replace(NEW_CFG, merge_split_tables=True)
+        b1, _ = _block(100.0, n_stops=6, n_trips=3)
+        b2, _ = _block(100.0, n_stops=6, n_trips=3, x_stops=500.0)
+        fields = payload_fields(_payload(b1 + b2))
+        old = Config.merge_split_tables
+        Config.merge_split_tables = True
+        try:
+            assert_equivalent(fields, tmp_path, "merge_split", cfg=cfg)
+        finally:
+            Config.merge_split_tables = old
 
 
 class TestSeededRandomLayouts:
