@@ -602,7 +602,17 @@ def fix_stop_abbreviations(ty: Typer, stops: list[tuple]) -> None:
 
 
 def merge_consecutive_days(ty: Typer) -> None:
-    """W10 (table.py:787-802): absorb following Days cells."""
+    """W10 (table.py:787-802): absorb following Days cells.
+
+    Reference quirk mirrored here: replace_cell on a row's LAST cell
+    does not remove it — set_neighbor's insert semantics leave the old
+    cell dangling after the fresh EmptyCell (see Grid.tails). When the
+    absorbed cell sits in the last column, it therefore stays visible
+    at the row's end. (If the merged text never reaches a
+    header_values entry, the reference would then re-absorb the same
+    dangling cell forever — an infinite loop; we break instead, the
+    one deliberate divergence.)
+    """
     g, s = ty.g, ty.s
     headers = {k.lower() for k in s.cfg.header_values}
     for r in range(g.n_rows):
@@ -617,6 +627,12 @@ def merge_consecutive_days(ty: Typer) -> None:
                 j = g.cells[pos[0]][pos[1]]
                 s.text[i] += " " + s.text[j]
                 g.cells[pos[0]][pos[1]] = s.add_empty()
+                if pos[1] == g.n_cols - 1:
+                    # absorbed the row's last cell -> it dangles at the
+                    # row end in the reference's pointer walk
+                    g.tails.setdefault(pos[0], []).append(j)
+                    ty.refresh()
+                    break
                 # emptiness changed -> neighbor index/count caches must
                 # rebuild before the next first_nonempty walk
                 ty.refresh()
@@ -694,6 +710,12 @@ class TypedTable:
                     texts.append("")
                     continue
                 t = s.text[g.cells[r][c]].replace('"', "")
+                texts.append(f'"{t}"' if "," in t else t)
+            for i in g.tails.get(r, ()):     # ragged row tails (quirk)
+                if s.strict_type(i) in bad:
+                    texts.append("")
+                    continue
+                t = s.text[i].replace('"', "")
                 texts.append(f'"{t}"' if "," in t else t)
             if any(texts):
                 lines.append(",".join(texts))
@@ -814,6 +836,14 @@ class TypedTable:
                     "row_type": "",
                     "col_type": TYPE_NAMES[ty.strict[r, c]],
                     "x0": b[0], "y0": b[1], "x1": b[2], "y1": b[3]})
+        for r, tail in sorted(g.tails.items()):  # ragged row tails
+            for k, i in enumerate(tail):
+                bb = s.bbox(i)
+                recs.append({
+                    "row_idx": r, "col_idx": g.n_cols + k,
+                    "text": s.text[i], "row_type": "",
+                    "col_type": TYPE_NAMES[s.strict_type(i)],
+                    "x0": bb[0], "y0": bb[1], "x1": bb[2], "y1": bb[3]})
         return TableResult(
             csv_text=self.to_csv(), row_types=[], col_types=[],
             cells_records=recs, entries_records=entries_records,

@@ -202,6 +202,15 @@ class Grid:
         self.store = store
         self.cells = rows
         self.potential: Optional[list[int]] = None  # store indices
+        # ragged row tails (reference quirk): Table.replace_cell
+        # (table.py:889-897) rewires only the neighbors' pointers, and
+        # Cell.set_neighbor INSERTS (cell.py:120-139), so replacing a
+        # row's LAST cell leaves the old cell dangling AFTER the new
+        # EmptyCell — the row walk then shows [..., Empty, old_cell].
+        # merge_consecutive_days is the only replace_cell caller, so
+        # this dict (row -> trailing store idxs) captures the
+        # observable raggedness for CSV/grid surfaces.
+        self.tails: dict[int, list[int]] = {}
 
     # ------------------------------------------------------------------
     # construction (table.py:115-126, 1035-1071)

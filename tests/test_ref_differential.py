@@ -119,6 +119,8 @@ def repo_grid(tt):
                 row.append(("", "Empty"))
             else:
                 row.append((s.text[i], TYPE_NAMES[int(ty.strict[r, c])]))
+        for i in g.tails.get(r, ()):       # ragged row tails (quirk)
+            row.append((s.text[i], TYPE_NAMES[s.strict_type(i)]))
         rows.append(row)
     return rows
 
@@ -249,6 +251,111 @@ class TestMergeSplitTables:
             assert_equivalent(fields, tmp_path, "merge_split", cfg=cfg)
         finally:
             Config.merge_split_tables = old
+
+
+class TestRaggedTailQuirk:
+    """Days merge absorbing the LAST column's cell: the reference's
+    replace_cell + set_neighbor insert semantics leave the absorbed
+    cell dangling at the row end (Grid.tails mirrors it). Found by the
+    adversarial sweep (seed 9036); both engines must agree on the
+    ragged row and its CSV."""
+
+    def test_split_days_ending_in_last_column(self, tmp_path):
+        from test_newpath import _block, _payload
+        cells, xs = _block(100.0, n_stops=6, n_trips=3)
+        for wi, w in enumerate(["Montag", "-", "Freitag"]):
+            cells.append((w, xs[wi], 86.0))
+        fields = payload_fields(_payload(cells))
+        repo_tables = tables_from_fields(fields, NEW_CFG)
+        assert any(t.grid.tails for t in repo_tables), \
+            "layout must exercise the ragged-tail quirk"
+        assert_equivalent(fields, tmp_path, "ragged_tail")
+
+
+class TestAdversarialLayouts:
+    """Second-generation sweep: multi-block pages, transposed tables,
+    split day headers, sparse grids, legends/annotations. The full
+    300-seed sweep runs offline; a rotating sample stays in CI."""
+
+    @staticmethod
+    def _layout(rng):
+        from pdf2gtfs_spark.kernel.payload import CHAR_W
+        cells = []
+        n_blocks = rng.randint(1, 3)
+        transposed = rng.random() < 0.3
+        y = 90.0
+        for _ in range(n_blocks):
+            n_stops = rng.randint(4, 10)
+            n_trips = rng.randint(2, 6)
+            if not transposed:
+                x_stops = 40.0 + rng.choice([0, 15])
+                x_annot = x_stops + 20 * CHAR_W
+                xs = [x_annot + 4 * CHAR_W + k * 10 * CHAR_W
+                      for k in range(n_trips)]
+                if rng.random() < 0.7:
+                    hdr = rng.choice(["Sonntag", "Samstag",
+                                      "Montag - Freitag",
+                                      "Sonn- und Feiertag"])
+                    if rng.random() < 0.3 and " " in hdr:
+                        words = hdr.split()
+                        for wi, w in enumerate(
+                                words[:min(len(words), n_trips)]):
+                            cells.append((w, xs[wi], y))
+                    else:
+                        cells.append((hdr, xs[0], y))
+                y += 12
+                for s in range(n_stops):
+                    yy = y + s * 10.0
+                    nm = rng.choice([f"Halt {chr(65 + s)} Strasse",
+                                     f"Stop {s} Platz",
+                                     f"Bahnhof {chr(70 + s)} Nord"])
+                    cells.append((nm, x_stops, yy))
+                    if rng.random() < 0.3:
+                        cells.append((rng.choice(["an", "ab"]),
+                                      x_annot, yy))
+                    for k, x in enumerate(xs):
+                        if rng.random() < 0.15:
+                            continue
+                        h, m = divmod((6 * 60 + 21 * k + 7 * s
+                                       + rng.randint(0, 3)) % 1440, 60)
+                        cells.append((f"{h}.{m:02}", x, yy))
+                if rng.random() < 0.25 and n_trips >= 3:
+                    x_rep = xs[rng.randint(0, n_trips - 2)] + 5 * CHAR_W
+                    cells.append(("alle", x_rep, y + 10))
+                    cells.append((str(rng.randint(3, 60)), x_rep, y + 20))
+                    cells.append((rng.choice(["Min.", "min"]),
+                                  x_rep, y + 30))
+                if rng.random() < 0.3:
+                    cells.append((rng.choice(["Verkehrshinweis", "Linie 4",
+                                              "a=verkehr", "foo: bar"]),
+                                  40.0, y + n_stops * 10 + 6))
+                y += n_stops * 10.0 + 30
+            else:
+                n = rng.randint(4, 7)
+                xs = [40.0 + k * 18 * CHAR_W for k in range(n)]
+                for k, x in enumerate(xs):
+                    nm = f"Halt {chr(65 + k)} Weg"
+                    cells.append((nm, x - (len(nm) * CHAR_W - 20) / 2, y))
+                for r in range(rng.randint(3, 6)):
+                    for k, x in enumerate(xs):
+                        if rng.random() < 0.1:
+                            continue
+                        h, m = divmod((7 * 60 + 13 * r + 5 * k) % 1440, 60)
+                        cells.append((f"{h}.{m:02}", x, y + 12 + r * 10.0))
+                y += 90
+        return cells
+
+    @pytest.mark.parametrize("seed", [9013, 9036, 9068, 9073, 9081,
+                                      9154, 9176, 9249, 9299,
+                                      9000, 9050, 9100, 9200])
+    def test_adversarial_layout(self, seed, tmp_path):
+        import random
+
+        from test_newpath import _payload
+        rng = random.Random(seed)
+        fields = payload_fields(_payload(self._layout(rng)))
+        assert_equivalent(fields, tmp_path, f"adv{seed}",
+                          expect_tables=False)
 
 
 class TestSeededRandomLayouts:
