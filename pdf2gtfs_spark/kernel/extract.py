@@ -172,6 +172,7 @@ class _Matchers:
                 ("route", _contains_regex(cfg.route_identifier))]:
             comp[name] = re.compile(rx) if rx else None
         self._c = comp
+        self._ftype_memo: dict[str, str] = {}
         self.time_re, self.time_order = time_format_to_regex(cfg.time_format)
         # repeat-interval extraction regex per identifier pair
         # (pdftable/container.py:304-313)
@@ -187,26 +188,37 @@ class _Matchers:
     def field_types_list(self, texts) -> list[str]:
         """Field-type ladder (pdftable/field.py:32-55). Direct compiled
         re.search per string beats pandas str.contains ~10x at tens of
-        strings per turn (no Series/Index churn)."""
+        strings per turn (no Series/Index churn). The ladder is a pure
+        function of the text, and time strings / stop names repeat
+        heavily across turns -> memoized per matcher instance (capped;
+        one matcher lives per Arrow-kernel worker)."""
         c = self._c
+        memo = self._ftype_memo
         out = []
         for t in texts:
+            cached = memo.get(t)
+            if cached is not None:
+                out.append(cached)
+                continue
             padded = f" {t.lower().strip()} "
             if (c["header"] and c["header"].search(padded)
                     and not (c["neg"] and c["neg"].search(padded))):
-                out.append(F_HEADER)
+                r = F_HEADER
             elif c["repeat"] and c["repeat"].search(padded):
-                out.append(F_REPEAT)
+                r = F_REPEAT
             elif _is_time_str(t, self.time_re, self.time_order):
-                out.append(F_DATA)
+                r = F_DATA
             elif c["stop_annot"] and c["stop_annot"].search(padded):
-                out.append(F_STOP_ANNOT)
+                r = F_STOP_ANNOT
             elif c["row_annot"] and c["row_annot"].search(padded):
-                out.append(F_ROW_ANNOT)
+                r = F_ROW_ANNOT
             elif c["route"] and c["route"].search(padded):
-                out.append(F_ROUTE_INFO)
+                r = F_ROUTE_INFO
             else:
-                out.append(F_OTHER)
+                r = F_OTHER
+            if len(memo) < 200_000:
+                memo[t] = r
+            out.append(r)
         return out
 
     def field_types(self, texts: pd.Series) -> pd.Series:
