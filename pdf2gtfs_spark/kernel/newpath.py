@@ -738,7 +738,7 @@ class TypedTable:
 
         n_entries = g.n_cols if o == V else g.n_rows
         entries = [{
-            "kind": None, "values": [], "days": [], "days_text": "",
+            "kind": None, "values": {}, "days": [], "days_text": "",
             "annotations": set(), "route_name": "", "repeat_texts": [],
         } for _ in range(n_entries)]
         valid = set()
@@ -751,7 +751,21 @@ class TypedTable:
                 text = s.text[g.cells[r][c]]
                 ent = entries[e_id]
                 if t == TIME:
-                    ent["values"].append((k, text))
+                    # reference quirk (entries.py:26-55): entry.values
+                    # is keyed by Stop objects whose __eq__/__hash__ is
+                    # (name, annotation) — duplicate-named stops
+                    # COLLAPSE, last value wins, the first key's row id
+                    # is retained. Mirrored as a (name, annot-at-insert)
+                    # key; non-stop rows share the single None key.
+                    p = pos_of_series.get(k)
+                    if p is not None:
+                        key = (stop_texts[p].strip(),
+                               annots_of_stop.get(k, ""))
+                    else:
+                        key = None
+                    prev = ent["values"].get(key)
+                    ent["values"][key] = (
+                        k if prev is None else prev[0], text)
                     valid.add(e_id)
                 elif t == ENTRY_ANNOT_VALUE:
                     ent["annotations"] = {a.strip() for a in text.split()}
@@ -801,7 +815,7 @@ class TypedTable:
                 "annotations": sorted(ent["annotations"]),
                 "days": ent["days"], "repeat_intervals": repeat,
             }
-            values = ent["values"] or [(None, None)]
+            values = list(ent["values"].values()) or [(None, None)]
             for k, text in values:
                 p = pos_of_series.get(k) if k is not None else None
                 rows.append({

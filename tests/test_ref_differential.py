@@ -125,6 +125,61 @@ def repo_grid(tt):
     return rows
 
 
+def ref_timetable(table):
+    """Normalized reference TimeTable: (stops, entries)."""
+    tt = table.to_timetable()
+    if tt is None:
+        return None
+    tt.detect_connection()
+    stops = [(s.name, s.annotation.strip(), bool(s.is_connection))
+             for s in tt.stops.all_stops]
+    entries = []
+    for e in tt.entries:
+        vals = {}
+        for stop, v in e.values.items():
+            vals[stop.raw_row_id if stop is not None else None] = v
+        entries.append({
+            "days": list(e.days.days),
+            "values": vals,
+            "annots": sorted(e.annotations),
+            "route": e.route_name,
+            "repeat": type(e).__name__ == "TimeTableRepeatEntry",
+            "intervals": getattr(e, "intervals", None),
+        })
+    return stops, entries
+
+
+def repo_timetable(tt, cfg=NEW_CFG):
+    """Normalized repo timetable records: (stops, entries)."""
+    er, sr = tt.to_timetable(0, cfg)
+    if not sr:
+        return None
+    stops = [(r["stop_name"], (r["stop_annot"] or "").strip(),
+              bool(r["is_connection"])) for r in sr]
+    entries = []
+    by_entry = {}
+    for row in er:
+        by_entry.setdefault(row["entry_id"], []).append(row)
+    for e_id in sorted(by_entry):
+        rows = by_entry[e_id]
+        r0 = rows[0]
+        vals = {}
+        for row in rows:
+            if row["value"] is not None:
+                vals[row["stop_row_idx"] if row["stop_pos"] is not None
+                     else None] = row["value"]
+        entries.append({
+            "days": list(r0["days"]),
+            "values": vals,
+            "annots": list(r0["annotations"]),
+            "route": r0["route_name"],
+            "repeat": r0["kind"] == "repeat",
+            "intervals": (r0["repeat_intervals"]
+                          if r0["kind"] == "repeat" else None),
+        })
+    return stops, entries
+
+
 def assert_equivalent(fields, tmp_path, label="", expect_tables=True,
                       cfg=NEW_CFG):
     repo_tables = tables_from_fields(fields, cfg)
@@ -140,6 +195,19 @@ def assert_equivalent(fields, tmp_path, label="", expect_tables=True,
         for r, (rr, fr) in enumerate(zip(g_repo, g_ref)):
             assert rr == fr, f"{label}[{k}] row {r}:\n repo={rr}\n  ref={fr}"
         assert rt.to_csv() == ref_csv(ft, tmp_path), f"{label}[{k}]: csv"
+        t_repo = repo_timetable(rt, cfg)
+        t_ref = ref_timetable(ft)
+        assert (t_repo is None) == (t_ref is None), \
+            f"{label}[{k}]: timetable presence"
+        if t_ref is not None:
+            assert t_repo[0] == t_ref[0], \
+                f"{label}[{k}] stops:\n repo={t_repo[0]}\n  ref={t_ref[0]}"
+            assert len(t_repo[1]) == len(t_ref[1]), \
+                f"{label}[{k}]: entry count {len(t_repo[1])} " \
+                f"vs {len(t_ref[1])}"
+            for i, (ea, eb) in enumerate(zip(t_repo[1], t_ref[1])):
+                assert ea == eb, \
+                    f"{label}[{k}] entry {i}:\n repo={ea}\n  ref={eb}"
 
 
 # ---------------------------------------------------------------------------
