@@ -915,7 +915,13 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
     if not meta:
         return [], stops_records
 
-    entries_records = []
+    # reference quirk (entries.py:26-55, stops.py:16-21): entry.values
+    # is a dict keyed by Stop objects whose __eq__/__hash__ is
+    # (name, annotation), so duplicate-named stops COLLAPSE per entry —
+    # the first-inserted key's row id is retained, the last value wins,
+    # and all stop-less rows share the single None key.  Mirrored by
+    # keying each entry's values on (stop_name, stop_annot).
+    per_entry: dict[int, tuple[dict, dict]] = {}
     for i in np.flatnonzero(value_mask):
         cid = cells.col_id[i]
         mrow = meta.get(cid)
@@ -923,15 +929,24 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
             continue
         r = int(row_idx[i])
         p = stop_pos_of_row.get(r)
-        entries_records.append({
-            "table_id": table_id, **mrow,
-            "stop_pos": p, "stop_row_idx": r,
-            "stop_name": stop_names[p] if p is not None else None,
-            "stop_annot": (stops_records[p]["stop_annot"]
-                           if p is not None else None),
-            "is_connection": (is_conn[p] if p is not None else False),
-            "value": cells.text[i],
-        })
+        key = ((stop_names[p], stops_records[p]["stop_annot"])
+               if p is not None else None)
+        _, vals = per_entry.setdefault(mrow["entry_id"], (mrow, {}))
+        prev = vals.get(key)
+        vals[key] = ((r, p) if prev is None else prev[0], cells.text[i])
+    entries_records = []
+    for e_id in sorted(per_entry):
+        mrow, vals = per_entry[e_id]
+        for (r, p), text in vals.values():
+            entries_records.append({
+                "table_id": table_id, **mrow,
+                "stop_pos": p, "stop_row_idx": r,
+                "stop_name": stop_names[p] if p is not None else None,
+                "stop_annot": (stops_records[p]["stop_annot"]
+                               if p is not None else None),
+                "is_connection": (is_conn[p] if p is not None else False),
+                "value": text,
+            })
     return entries_records, stops_records
 
 
@@ -942,10 +957,15 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
 def _process_table(table_id: int, a: _TableAnalysis,
                    cfg: ExtractConfig, m: _Matchers,
                    light: bool = False) -> Optional[TableResult]:
-    # Split stop-name repair (pdftable.py:97-115). The golden CSV
-    # fixtures carry the *raw* texts (e.g. kvv_s1/01_00.csv row 35
-    # "- Hauptbahnhof ..."), so the repair is applied only to the
-    # normalized timetable stop names, not to the CSV/grid surface.
+    # Split stop-name repair (pdftable.py:97-115, field.py:107-125).
+    # The reference mutates the stop fields in place BEFORE the CSV
+    # export (reader.py:400-409 fix_split_stopnames precedes
+    # tables_to_csv), so the repaired names appear in the CSV, the cell
+    # records and the timetable alike.  The committed fixture artifact
+    # kvv_s1/01_00.csv carries *raw* texts ("- Hauptbahnhof ..."), but
+    # driving the actual reference legacy engine on the same chars
+    # (tests/test_ref_differential.py legacy surface) proves the
+    # current code repairs them pre-CSV; the artifact predates that.
     fixed_stop_text: dict[int, str] = {}
     stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
     cells = a.cells
@@ -955,6 +975,8 @@ def _process_table(table_id: int, a: _TableAnalysis,
             [cells.text[i] for i in sel], [cells.x0[i] for i in sel],
             [cells.line_id[i] for i in sel], a.row_type_of_line)
         fixed_stop_text = dict(zip((cells.line_id[i] for i in sel), fixed))
+        for i, new_text in zip(sel, fixed):
+            cells.text[i] = new_text
 
     row_types_arr = np.array(
         [a.row_type_of_line[l] for l in a.tfields.line_id], dtype=object)
