@@ -55,13 +55,16 @@ def build_routes(entries: DataFrame,
     (routes.py:138-170); dedup on (agency, short, long) with
     deterministic ids (A4 first-wins semantics are id-free here because
     the id is a pure function of the key)."""
+    # NOTE connection stops are NOT excluded: the reference's
+    # names_from_entry iterates entry.values, which still carries the
+    # values of connection-flagged stops (routes.py:138-161; pinned by
+    # tests/test_ref_gtfs_differential.py). Only stops.txt and
+    # stop_times.txt skip connections.
     timed = (entries.where("kind = 'time' AND value IS NOT NULL "
                            "AND stop_name IS NOT NULL")
              .withColumn("trip_key",
                          F.concat_ws("/", "conv_id", "turn_idx",
                                      "table_id", "entry_id")))
-    if "is_connection" in timed.columns:
-        timed = timed.where(~F.coalesce("is_connection", F.lit(False)))
     parseable = timed.where(
         F.regexp_replace("value", " ", "").rlike(_ST_TIME_RE))
     per_trip = (parseable.groupBy("trip_key")
@@ -89,13 +92,13 @@ def trip_route_service(entries: DataFrame,
     """trips.txt rows: each timed entry becomes a trip bound to its
     route (via first/last stop key) and calendar service (via
     days+annotations key)."""
+    # connection stops included — must mirror build_routes' route key
+    # exactly (see the NOTE there)
     timed = (entries.where("kind = 'time' AND value IS NOT NULL "
                            "AND stop_name IS NOT NULL")
              .withColumn("trip_id",
                          F.concat_ws("/", "conv_id", "turn_idx",
                                      "table_id", "entry_id")))
-    if "is_connection" in timed.columns:
-        timed = timed.where(~F.coalesce("is_connection", F.lit(False)))
     # entries may carry days/annotations as arrays (pipeline) or as
     # pre-joined keys (the materialized oracle handoff)
     if "days_key" not in timed.columns:
@@ -172,7 +175,9 @@ def build_feed(entries: DataFrame, spark: SparkSession,
     trs = trip_route_service(entries, cfg)
     trips = (base_trips.select("trip_id")
              .join(trs, "trip_id"))
-    # repeat-expanded trips ("<anchor>#k") inherit the anchor's trip row
+    # repeat-expanded trips ("<next-anchor>#k") inherit the NEXT (right)
+    # anchor's route/service — the reference's trip_factory is built
+    # from the current entry (handler.py:163-216)
     rep_trips = (rep.select("trip_id").distinct()
                  .withColumn("anchor",
                              F.substring_index("trip_id", "#", 1))
@@ -272,7 +277,6 @@ WITH e AS (
          stop_pos, stop_name, route_name, days_key, annots_key
   FROM read_parquet('{_FEED_GLOB}')
   WHERE kind = 'time' AND value IS NOT NULL AND stop_name IS NOT NULL
-    AND NOT is_connection
     AND regexp_matches(replace(value, ' ', ''), '{_ST_TIME_RE}')
 ), per_trip AS (
   SELECT trip_key,

@@ -62,12 +62,29 @@ def build_stops(entries: DataFrame,
 
     stop_id = 60-bit hash of the normalized name: deterministic across
     runs/cluster sizes, unlike sequential ids (X18).
+
+    "First" is DOCUMENT order (conv, turn, table, stop_pos), matching
+    the reference's GTFSStops.add which keeps the first-seen display
+    variant while later same-normalized names only mark reuse
+    (stop.py:187-196; pinned by the GTFS differential tests).  Frames
+    built by hand in tests may lack the position columns — falls back
+    to stop_name order there.
     """
+    order_cols = [c for c in ("conv_id", "turn_idx", "table_id",
+                              "stop_pos") if c in entries.columns]
     stops = (entries.where("kind = 'time' AND stop_name IS NOT NULL")
-             .select("stop_name")
-             .withColumn("normalized_name",
-                         normalize_col(F.col("stop_name"), cfg)))
-    w = Window.partitionBy("normalized_name").orderBy("stop_name")
+             .select("stop_name", *order_cols,
+                     *(["is_connection"]
+                       if "is_connection" in entries.columns else [])))
+    if "is_connection" in stops.columns:
+        # add_timetable_stops only registers non-connection stops
+        # (handler.py:132-136, StopList.stops property)
+        stops = stops.where(
+            ~F.coalesce("is_connection", F.lit(False)))
+    stops = stops.withColumn("normalized_name",
+                             normalize_col(F.col("stop_name"), cfg))
+    w = Window.partitionBy("normalized_name").orderBy(
+        *order_cols, "stop_name")
     return (stops.withColumn("rn", F.row_number().over(w))
             .where("rn = 1")
             .select(
@@ -199,24 +216,35 @@ def expand_repeats(entries: DataFrame, stop_times: DataFrame,
                         "r.deltas",
                         F.col("n.prev_entry").alias("prev_entry"),
                         F.col("n.entry_id").alias("next_entry")))
-    starts = (stop_times
-              .groupBy("trip_id")
-              .agg(F.min(F.struct("stop_sequence", "arr_seconds"))
-                   .alias("first"))
-              .select("trip_id", F.col("first.arr_seconds")
-                      .alias("start_seconds")))
     key = F.concat_ws("/", "conv_id", "turn_idx", "table_id")
     anchored = (anchored
                 .withColumn("prev_trip",
                             F.concat_ws("/", key, "prev_entry"))
                 .withColumn("next_trip",
-                            F.concat_ws("/", key, "next_entry"))
-                .join(starts.withColumnRenamed("trip_id", "prev_trip")
-                      .withColumnRenamed("start_seconds", "prev_start"),
-                      "prev_trip")
-                .join(starts.withColumnRenamed("trip_id", "next_trip")
-                      .withColumnRenamed("start_seconds", "next_start"),
-                      "next_trip"))
+                            F.concat_ws("/", key, "next_entry")))
+    # The reference's stopping rule compares the two trips at the FIRST
+    # stop (in the previous trip's sequence order) that both trips
+    # share (stop_times.py:272-279 __lt__ walks previous' entries and
+    # compares at the first stop_id found in next), so the gap is
+    # measured there — not at each trip's own first stop.  Trips with
+    # no common stop make the reference assert/loop; they are dropped
+    # here (gap is null -> inner join removes the pair).
+    p = stop_times.select(F.col("trip_id").alias("prev_trip"),
+                          F.col("stop_sequence").alias("p_seq"),
+                          F.col("arr_seconds").alias("p_arr"),
+                          "stop_id")
+    nx = stop_times.select(F.col("trip_id").alias("next_trip"),
+                           F.col("arr_seconds").alias("n_arr"),
+                           "stop_id")
+    gaps = (anchored.select("prev_trip", "next_trip").distinct()
+            .join(p, "prev_trip")
+            .join(nx, ["next_trip", "stop_id"])
+            .groupBy("prev_trip", "next_trip")
+            .agg(F.min_by(F.col("n_arr") - F.col("p_arr"), "p_seq")
+                 .alias("gap")))
+    anchored = (anchored
+                .join(gaps, ["prev_trip", "next_trip"])
+                .where(F.col("gap") > 0))
     # cumulative-sum array of one delta cycle
     anchored = (anchored
                 .withColumn("cycle_sum",
@@ -229,9 +257,7 @@ def expand_repeats(entries: DataFrame, stop_times: DataFrame,
                         lambda i: F.aggregate(
                             F.slice("deltas", 1, i), F.lit(0.0),
                             lambda a, x: a + x) * 60))
-                .withColumn("n_deltas", F.size("deltas"))
-                .withColumn("gap",
-                            F.col("next_start") - F.col("prev_start")))
+                .withColumn("n_deltas", F.size("deltas")))
     min_delta = F.array_min("deltas") * 60
     k_hi = F.ceil(F.col("gap") / min_delta) + 1
     exploded = (anchored
@@ -248,10 +274,15 @@ def expand_repeats(entries: DataFrame, stop_times: DataFrame,
     copies = (exploded
               .select("prev_trip", "next_trip", "k",
                       F.col("shift_s").cast("bigint").alias("shift_s")))
+    # times are shifted copies of the PREVIOUS trip, but the generated
+    # trip's identity (and thus route/service inheritance in
+    # build_feed) comes from the NEXT entry: the reference's
+    # trip_factory is built from the CURRENT (right) entry's route_id
+    # and calendar entry (handler.py:163-216, add_repeat)
     out = (stop_times.join(
                copies.withColumnRenamed("prev_trip", "trip_id"), "trip_id")
            .select(
-               F.concat_ws("#", "trip_id", F.col("k").cast("string"))
+               F.concat_ws("#", "next_trip", F.col("k").cast("string"))
                .alias("trip_id"),
                "stop_sequence",
                (F.col("arr_seconds") + F.col("shift_s"))

@@ -191,20 +191,31 @@ def _install_pdfminer() -> None:
 
 
 # ---------------------------------------------------------------------------
-# holidays (only list_supported_countries is hit, during config load)
+# holidays (list_supported_countries is hit during config load;
+# country_holidays during handler.generate_calendar_dates — served by a
+# deterministic fake calendar that mirrors the repo's synthetic holiday
+# dim, operators/feed.py HOLIDAY_MONTH_DAYS, so the GTFS differential
+# compares like against like)
 # ---------------------------------------------------------------------------
+
+_FAKE_HOLIDAY_MONTH_DAYS = [(1, 1), (5, 1), (10, 3), (12, 25), (12, 26)]
+
 
 def _install_holidays() -> None:
     if "holidays" in sys.modules:
         return
+    import datetime as _dt
+
     _mk("holidays")
     utils = _mk("holidays.utils")
 
     def list_supported_countries(*args, **kwargs):
         return {"DE": ["BW", "BY", "BE"]}
 
-    def country_holidays(*args, **kwargs):
-        raise NotImplementedError("holidays stub: no calendar data")
+    def country_holidays(country, subdiv=None, years=None, **kwargs):
+        years = years or []
+        return {_dt.date(y, m, d): f"fake-holiday-{m:02d}{d:02d}"
+                for y in years for m, d in _FAKE_HOLIDAY_MONTH_DAYS}
 
     utils.list_supported_countries = list_supported_countries
     utils.country_holidays = country_holidays
@@ -346,6 +357,46 @@ def _install_custom_conf() -> None:
 # ---------------------------------------------------------------------------
 # loader
 # ---------------------------------------------------------------------------
+
+def _install_folium() -> None:
+    """Type surface only: locate/finder/loc_nodes.py imports folium for
+    its interactive map output, which the GTFS differential never
+    renders."""
+    if "folium" in sys.modules:
+        return
+    m = _mk("folium")
+    for cls_name in ("Map", "Marker", "Icon", "Popup", "CircleMarker"):
+        setattr(m, cls_name, type(cls_name, (), {}))
+
+
+_loaded_gtfs: dict | None = None
+
+
+def load_reference_gtfs() -> dict:
+    """Handles for the reference GTFS output surface
+    (datastructures/gtfs_output/): the GTFSHandler plus the legacy
+    pdftable->TimeTable drivers.  Aligns Config.gtfs_date_bounds with
+    the repo's FEED_DATE_BOUNDS so calendar/calendar_dates compare."""
+    global _loaded_gtfs
+    if _loaded_gtfs is not None:
+        return _loaded_gtfs
+    base = load_reference()
+    _install_folium()
+
+    from pdf2gtfs.datastructures.gtfs_output.handler import GTFSHandler
+    from pdf2gtfs.reader import (
+        get_pdf_tables_from_df, pdf_tables_to_timetables,
+    )
+
+    base["Config"].gtfs_date_bounds = ["20240101", "20251231"]
+    _loaded_gtfs = {
+        **base,
+        "GTFSHandler": GTFSHandler,
+        "get_pdf_tables_from_df": get_pdf_tables_from_df,
+        "pdf_tables_to_timetables": pdf_tables_to_timetables,
+    }
+    return _loaded_gtfs
+
 
 def reference_available() -> bool:
     return (REF_SRC / "pdf2gtfs" / "datastructures" / "table"
