@@ -32,8 +32,9 @@ from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pdf2gtfs_spark.operators import register
 from pdf2gtfs_spark.operators._aux import aux_glob, aux_path, write_aux_spark
 from pdf2gtfs_spark.operators.gtfs import (
-    _ST_TIME_RE, _md5_id, build_calendar, build_stop_times, build_stops,
-    build_trips, expand_repeats,
+    _ST_TIME_RE, _md5_id, apply_service_day_offsets, build_calendar,
+    build_stop_times, build_stops, build_trips, expand_repeats,
+    service_day_offsets,
 )
 
 AGENCY_ROW = ("0", "pdf2gtfs", "https://example.com", "Europe/Berlin")
@@ -159,11 +160,20 @@ def remove_unused(trips: DataFrame, stop_times: DataFrame,
 
 
 def build_feed(entries: DataFrame, spark: SparkSession,
-               cfg: ExtractConfig = DEFAULT_CONFIG) -> dict[str, DataFrame]:
-    """entries -> the seven GTFS frames (handler.timetable_to_gtfs)."""
-    stops = build_stops(entries, cfg)
+               cfg: ExtractConfig = DEFAULT_CONFIG,
+               stops_src: DataFrame | None = None) -> dict[str, DataFrame]:
+    """entries -> the seven GTFS frames (handler.timetable_to_gtfs).
+
+    Pass ``stops_src`` (pipeline.stops_table) so stops.txt also carries
+    stops without any entry value, like the reference does."""
+    stops = build_stops(entries, cfg, stops_src=stops_src)
     base_trips = build_trips(entries)
     st = build_stop_times(entries, stops, cfg)
+    # cross-entry service-day offsets precede repeat expansion: the
+    # reference duplicates the already-shifted previous trip and
+    # compares against the already-shifted next (handler.py:144-217)
+    st = apply_service_day_offsets(
+        st, service_day_offsets(entries, st, cfg))
     rep = expand_repeats(entries, st, cfg)
     stop_times = st.select(
         "trip_id", "stop_sequence", "arrival_time", "departure_time",

@@ -57,7 +57,8 @@ def gtfs_time_str(seconds_col):
 
 
 def build_stops(entries: DataFrame,
-                cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+                cfg: ExtractConfig = DEFAULT_CONFIG,
+                stops_src: DataFrame | None = None) -> DataFrame:
     """A4/J5: first-wins dedup on normalized stop name.
 
     stop_id = 60-bit hash of the normalized name: deterministic across
@@ -69,13 +70,23 @@ def build_stops(entries: DataFrame,
     (stop.py:187-196; pinned by the GTFS differential tests).  Frames
     built by hand in tests may lack the position columns — falls back
     to stop_name order there.
+
+    ``stops_src`` (the stop-grain frame, pipeline.stops_table) is the
+    faithful source: the reference registers EVERY non-connection
+    timetable stop (add_timetable_stops), including stops that carry no
+    value in any entry — which the entry-grain frame cannot see.  The
+    entry-grain fallback keeps hand-built frames and the stop_times
+    oracle working (value-less stops never reach stop_times anyway).
     """
+    src = stops_src if stops_src is not None else entries
     order_cols = [c for c in ("conv_id", "turn_idx", "table_id",
-                              "stop_pos") if c in entries.columns]
-    stops = (entries.where("kind = 'time' AND stop_name IS NOT NULL")
+                              "stop_pos") if c in src.columns]
+    cond = ("stop_name IS NOT NULL" if stops_src is not None
+            else "kind = 'time' AND stop_name IS NOT NULL")
+    stops = (src.where(cond)
              .select("stop_name", *order_cols,
                      *(["is_connection"]
-                       if "is_connection" in entries.columns else [])))
+                       if "is_connection" in src.columns else [])))
     if "is_connection" in stops.columns:
         # add_timetable_stops only registers non-connection stops
         # (handler.py:132-136, StopList.stops property)
@@ -270,7 +281,10 @@ def expand_repeats(entries: DataFrame, stop_times: DataFrame,
                         "prefix",
                         ((F.col("k") - 1) % F.col("n_deltas") + 1)
                         .cast("int")))
-                .where(F.col("shift_s") <= F.col("gap")))
+                # strict <: the reference keeps a copy only while
+                # new < next_ at the common stop (add_repeat breaks on
+                # __gt__ = not __lt__, so an exact tie is dropped)
+                .where(F.col("shift_s") < F.col("gap")))
     copies = (exploded
               .select("prev_trip", "next_trip", "k",
                       F.col("shift_s").cast("bigint").alias("shift_s")))
@@ -295,6 +309,134 @@ def expand_repeats(entries: DataFrame, stop_times: DataFrame,
            .select("trip_id", "stop_sequence", "arr_seconds", "dep_seconds",
                    "arrival_time", "departure_time", "stop_id"))
     return out
+
+
+def service_day_offsets(entries: DataFrame, stop_times: DataFrame,
+                        cfg: ExtractConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(trip_id, shift_seconds): the reference's service-day offset
+    chain over a table's entry sequence (handler.py:144-217), mirrored
+    bug-for-bug:
+
+    - new_day() tests ``previous > current`` where __gt__ is
+      ``not __lt__ and not __eq__`` (stop_times.py:285-286) and __lt__
+      compares arrivals at the FIRST stop (in the previous trip's
+      order) shared with the current trip — so a tie OR a disjoint
+      stop set also triggers the +24h shift;
+    - the accumulated ``service_day_offset`` is passed to add_multiple
+      as ``Time(offset)`` — i.e. as HOURS, not days (handler.py:152,
+      stop_times.py:202): the n-th day-crossing column is shifted by
+      24h + (n-1)h on top of earlier offsets;
+    - ``previous`` is NOT advanced past the right anchor of a repeat
+      sandwich (handler.py:205-216: ``previous = current`` only runs
+      ``if not repeat``), so the next comparison still uses the left
+      anchor;
+    - the chain resets (offset=0, previous=None) when the entry's
+      calendar DAYS differ from the previous entry's — annotations are
+      not part of same_days (calendar.py:109-115).
+
+    Runs per (conv, turn, table) group via applyInPandas — a table has
+    at most a few dozen entries, so the sequential recurrence is local
+    and the operator stays partitioned by table key at any scale.
+    """
+    key_cols = ["conv_id", "turn_idx", "table_id"]
+    ent = entries.where("kind IN ('time', 'repeat')")
+    if "repeat_ok" in ent.columns:
+        repeat_ok = F.col("repeat_ok")
+    elif "repeat_intervals" in ent.columns:
+        repeat_ok = ((F.col("kind") == "repeat")
+                     & F.col("repeat_intervals").isNotNull()
+                     & (F.size("repeat_intervals") > 0))
+    else:
+        repeat_ok = F.col("kind") == "repeat"
+    if "days_key" in ent.columns:
+        days_key = F.col("days_key")
+    else:
+        days_key = F.array_join(F.coalesce(
+            F.col("days"), F.array().cast("array<string>")), ",")
+    meta = (ent.select(*key_cols, "entry_id", "kind",
+                       days_key.alias("days_key"),
+                       repeat_ok.alias("repeat_ok"))
+            .distinct()
+            .withColumn("trip_id",
+                        F.concat_ws("/", *key_cols, "entry_id")))
+    inp = meta.join(
+        stop_times.select("trip_id", "stop_sequence", "arr_seconds",
+                          "stop_id"),
+        "trip_id", "left")
+
+    def walk(pdf):
+        import pandas as pd
+
+        out_ids, out_shifts = [], []
+        prev = None              # (stop order, {stop: arr}, shift)
+        prev_days = None
+        offset = 0
+        pending_repeat = False
+        groups = {eid: g for eid, g in pdf.groupby("entry_id")}
+        for eid in sorted(groups):
+            g = groups[eid]
+            r0 = g.iloc[0]
+            if r0["kind"] == "repeat":
+                pending_repeat = bool(r0["repeat_ok"])
+                continue
+            g = g[g["stop_sequence"].notna()].sort_values("stop_sequence")
+            # a stop may appear at several non-consecutive sequences
+            # (multi-block collapse); __lt__/_get_entry_from_stop_id
+            # always resolve the FIRST entry per stop_id
+            # (stop_times.py:265-279), so keep first-wins arrivals
+            order, arr = [], {}
+            for sid, a in zip(g["stop_id"], g["arr_seconds"]):
+                if sid not in arr:
+                    order.append(sid)
+                    arr[sid] = a
+            days = r0["days_key"]
+            if prev_days is not None and days != prev_days:
+                offset = 0
+                prev = None
+            delta0 = 3600 * offset
+            flag = False
+            if prev is not None:
+                p_order, p_arr, p_shift = prev
+                # empty/disjoint stop sets -> __lt__ exhausts -> False
+                # -> __gt__ True -> the shift fires
+                common = next((s for s in p_order if s in arr), None)
+                if common is None:
+                    flag = True
+                else:
+                    flag = not (p_arr[common] + p_shift
+                                < arr[common] + delta0)
+            shift = delta0 + (86400 if flag else 0)
+            if flag:
+                offset += 1
+            out_ids.append(r0["trip_id"])
+            out_shifts.append(shift)
+            prev_days = days
+            if not pending_repeat:
+                prev = (order, arr, shift)
+            pending_repeat = False
+        return pd.DataFrame({"trip_id": out_ids,
+                             "shift_seconds": out_shifts})
+
+    return (inp.groupBy(*key_cols)
+            .applyInPandas(walk, "trip_id string, shift_seconds long"))
+
+
+def apply_service_day_offsets(stop_times: DataFrame,
+                              offsets: DataFrame) -> DataFrame:
+    """Shift each trip's stop_times by its service-day offset and
+    regenerate the GTFS time strings."""
+    shifted = (stop_times.join(offsets, "trip_id", "left")
+               .withColumn("shift_seconds",
+                           F.coalesce("shift_seconds", F.lit(0)))
+               .withColumn("arr_seconds",
+                           F.col("arr_seconds") + F.col("shift_seconds"))
+               .withColumn("dep_seconds",
+                           F.col("dep_seconds") + F.col("shift_seconds"))
+               .drop("shift_seconds"))
+    return (shifted
+            .withColumn("arrival_time", gtfs_time_str(F.col("arr_seconds")))
+            .withColumn("departure_time",
+                        gtfs_time_str(F.col("dep_seconds"))))
 
 
 def build_calendar(entries: DataFrame) -> DataFrame:
@@ -513,3 +655,185 @@ def gtfs_stop_times_pipeline(spark, sf_dir):
                       .alias("dep_seconds"),
                       "arrival_time", "departure_time", "stop_id")
             .orderBy("trip_id", "stop_sequence"))
+
+
+_SDO_PARQUET = aux_path("gtfs_offsets_entries.parquet")
+_SDO_GLOB = aux_glob("gtfs_offsets_entries.parquet")
+
+# The walk state is a first-order recurrence over each table's entry
+# sequence, so the oracle recomputes it with a RECURSIVE CTE: `seq`
+# numbers the timed entries, `pairs` precomputes the
+# first-common-stop arrival comparison for every ordered trip pair of
+# a table, and `walk` threads (offset, previous pointer, previous
+# shift) from rn to rn+1 exactly like handler.py:144-217.
+_SDO_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT * FROM read_parquet('{_SDO_GLOB}')
+), e AS (
+  SELECT conv_id, turn_idx, table_id, trip_id, stop_pos, normalized_name,
+         CASE WHEN regexp_matches(replace(value, ' ', ''), '{_ST_TIME_RE}')
+              THEN CAST(regexp_extract(replace(value, ' ', ''),
+                        '{_ST_TIME_RE}', 1) AS INT) * 3600
+                 + CAST(regexp_extract(replace(value, ' ', ''),
+                        '{_ST_TIME_RE}', 2) AS INT) * 60
+              ELSE 0 END AS day_seconds
+  FROM base
+  WHERE kind = 'time' AND value IS NOT NULL AND stop_name IS NOT NULL
+    AND NOT is_connection
+), flagged AS (
+  SELECT *, CASE WHEN day_seconds < lag(day_seconds) OVER w
+                 THEN 1 ELSE 0 END AS wrapped,
+         CASE WHEN lag(normalized_name) OVER w IS NULL
+               OR lag(normalized_name) OVER w <> normalized_name
+              THEN 1 ELSE 0 END AS new_run
+  FROM e WINDOW w AS (PARTITION BY trip_id ORDER BY stop_pos)
+), rolled AS (
+  SELECT *, day_seconds + 86400 * sum(wrapped) OVER w2 AS svc_seconds,
+         sum(new_run) OVER w2 AS run_id
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY trip_id ORDER BY stop_pos
+                ROWS UNBOUNDED PRECEDING)
+), folded AS (
+  SELECT conv_id, turn_idx, table_id, trip_id, run_id,
+         min(normalized_name) AS nm,
+         CAST(min(stop_pos) AS INT) AS stop_sequence,
+         CAST(min(svc_seconds) AS BIGINT) AS arr
+  FROM rolled
+  GROUP BY conv_id, turn_idx, table_id, trip_id, run_id
+), ffirst AS (
+  -- first entry per stop per trip (_get_entry_from_stop_id semantics)
+  SELECT conv_id, turn_idx, table_id, trip_id, nm,
+         arg_min(arr, stop_sequence) AS arr,
+         min(stop_sequence) AS seq
+  FROM folded GROUP BY conv_id, turn_idx, table_id, trip_id, nm
+), pairs AS (
+  SELECT p.trip_id AS ptrip, n.trip_id AS ntrip,
+         arg_min(p.arr, p.seq) AS p_arr,
+         arg_min(n.arr, p.seq) AS n_arr
+  FROM ffirst p
+  JOIN ffirst n
+    ON p.conv_id = n.conv_id AND p.turn_idx = n.turn_idx
+   AND p.table_id = n.table_id AND p.nm = n.nm
+   AND p.trip_id <> n.trip_id
+  GROUP BY p.trip_id, n.trip_id
+), ord AS (
+  SELECT DISTINCT conv_id, turn_idx, table_id, entry_id, kind, repeat_ok
+  FROM base
+), anch AS (
+  SELECT *, lag(kind) OVER wo AS pk,
+         lag(repeat_ok) OVER wo AS pok
+  FROM ord
+  WINDOW wo AS (PARTITION BY conv_id, turn_idx, table_id
+                ORDER BY entry_id)
+), seq AS (
+  SELECT t.conv_id, t.turn_idx, t.table_id, t.entry_id, t.days_key,
+         t.trip_id,
+         COALESCE(a.pk = 'repeat' AND a.pok, FALSE) AS right_anchor,
+         row_number() OVER (PARTITION BY t.conv_id, t.turn_idx, t.table_id
+                            ORDER BY t.entry_id) AS rn
+  FROM (SELECT DISTINCT conv_id, turn_idx, table_id, entry_id, days_key,
+               trip_id FROM base WHERE kind = 'time') t
+  JOIN anch a USING (conv_id, turn_idx, table_id, entry_id)
+), walk AS (
+  SELECT s.conv_id, s.turn_idx, s.table_id, s.rn, s.trip_id,
+         CAST(0 AS BIGINT) AS shift,
+         0 AS offs,
+         CASE WHEN s.right_anchor THEN NULL ELSE s.trip_id END AS prev_trip,
+         CAST(0 AS BIGINT) AS prev_shift,
+         s.days_key AS prev_days
+  FROM seq s WHERE s.rn = 1
+  UNION ALL
+  SELECT s.conv_id, s.turn_idx, s.table_id, s.rn, s.trip_id,
+         CAST(3600 * (CASE WHEN s.days_key <> w.prev_days
+                           THEN 0 ELSE w.offs END)
+              + CASE WHEN (CASE WHEN s.days_key <> w.prev_days
+                                THEN NULL ELSE w.prev_trip END)
+                          IS NOT NULL
+                      AND (pr.ptrip IS NULL
+                           OR NOT (pr.p_arr + w.prev_shift
+                                   < pr.n_arr
+                                   + 3600 * (CASE WHEN s.days_key
+                                                       <> w.prev_days
+                                                  THEN 0
+                                                  ELSE w.offs END)))
+                     THEN 86400 ELSE 0 END AS BIGINT) AS shift,
+         (CASE WHEN s.days_key <> w.prev_days THEN 0 ELSE w.offs END)
+         + CASE WHEN (CASE WHEN s.days_key <> w.prev_days
+                           THEN NULL ELSE w.prev_trip END) IS NOT NULL
+                 AND (pr.ptrip IS NULL
+                      OR NOT (pr.p_arr + w.prev_shift
+                              < pr.n_arr
+                              + 3600 * (CASE WHEN s.days_key
+                                                  <> w.prev_days
+                                             THEN 0 ELSE w.offs END)))
+                THEN 1 ELSE 0 END AS offs,
+         CASE WHEN s.right_anchor
+              THEN (CASE WHEN s.days_key <> w.prev_days
+                         THEN NULL ELSE w.prev_trip END)
+              ELSE s.trip_id END AS prev_trip,
+         CASE WHEN s.right_anchor THEN w.prev_shift
+              ELSE CAST(3600 * (CASE WHEN s.days_key <> w.prev_days
+                                     THEN 0 ELSE w.offs END)
+                   + CASE WHEN (CASE WHEN s.days_key <> w.prev_days
+                                     THEN NULL
+                                     ELSE w.prev_trip END) IS NOT NULL
+                           AND (pr.ptrip IS NULL
+                                OR NOT (pr.p_arr + w.prev_shift
+                                        < pr.n_arr
+                                        + 3600 * (CASE WHEN s.days_key
+                                                       <> w.prev_days
+                                                       THEN 0
+                                                       ELSE w.offs END)))
+                          THEN 86400 ELSE 0 END AS BIGINT) END
+             AS prev_shift,
+         s.days_key AS prev_days
+  FROM walk w
+  JOIN seq s ON s.conv_id = w.conv_id AND s.turn_idx = w.turn_idx
+            AND s.table_id = w.table_id AND s.rn = w.rn + 1
+  LEFT JOIN pairs pr ON pr.ptrip = (CASE WHEN s.days_key <> w.prev_days
+                                         THEN NULL ELSE w.prev_trip END)
+                    AND pr.ntrip = s.trip_id
+)
+SELECT trip_id, shift AS shift_seconds FROM walk ORDER BY trip_id
+"""
+
+
+@register("gtfs_service_day_offsets", oracle=_SDO_SQL)
+def gtfs_service_day_offsets(spark, sf_dir):
+    """Cross-entry service-day offsets (handler.py:144-217) on the
+    materialized entries; the oracle recomputes the sequential walk
+    with a recursive CTE over precomputed first-common-stop pair
+    comparisons."""
+    from pdf2gtfs_spark.plans.pipeline import entries_table
+
+    entries = entries_table(_synthetic_extracted(spark))
+    handoff = (entries
+               .where("kind IN ('time', 'repeat')")
+               .withColumn("trip_id",
+                           F.concat_ws("/", "conv_id", "turn_idx",
+                                       "table_id", "entry_id"))
+               .withColumn("normalized_name",
+                           normalize_col(F.col("stop_name")))
+               .select("conv_id", "turn_idx", "table_id", "entry_id",
+                       "trip_id", "kind",
+                       F.array_join(F.coalesce(
+                           F.col("days"),
+                           F.array().cast("array<string>")), ",")
+                       .alias("days_key"),
+                       ((F.col("kind") == "repeat")
+                        & F.col("repeat_intervals").isNotNull()
+                        & (F.size("repeat_intervals") > 0))
+                       .alias("repeat_ok"),
+                       "stop_pos", "stop_name", "normalized_name",
+                       "value",
+                       F.coalesce("is_connection", F.lit(False))
+                       .alias("is_connection")))
+    write_aux_spark("gtfs_offsets_entries.parquet", handoff)
+    ent = spark.read.parquet(_SDO_PARQUET)
+    timed = ent.where("kind = 'time'")
+    st = build_stop_times(timed, build_stops(timed))
+    offs = service_day_offsets(ent, st)
+    return (offs.select("trip_id",
+                        F.col("shift_seconds").cast("bigint")
+                        .alias("shift_seconds"))
+            .orderBy("trip_id"))

@@ -99,21 +99,25 @@ class TestRepeatExpansion:
         return e, st
 
     def test_constant_interval(self, spark):
-        # anchors 8:00 and 9:00, alle 20 min -> copies at 8:20, 8:40,
-        # 9:00 (== next is kept, > next stops; stop_times.py:255-261)
+        # anchors 8:00 and 9:00, alle 20 min -> copies at 8:20, 8:40;
+        # the 9:00 tie is DROPPED: add_repeat breaks on
+        # __gt__ = not __lt__, so a copy equal to next at the common
+        # stop never lands (stop_times.py:255-261, 285-286; pinned by
+        # the GTFS differential sweep)
         e, st = self._base(spark, intervals=[20], gap_minutes=60)
         rep = expand_repeats(e, st).collect()
         starts = sorted(r["arrival_time"] for r in rep
                         if r["stop_sequence"] == 0)
-        assert starts == ["08:20:00", "08:40:00", "09:00:00"]
+        assert starts == ["08:20:00", "08:40:00"]
 
     def test_cycle_intervals(self, spark):
-        # deltas cycle [10, 20]: shifts 10, 30, 40, 60 (<= gap 60)
+        # deltas cycle [10, 20]: shifts 10, 30, 40 land (< gap 60);
+        # the 60 tie is dropped (strict __lt__)
         e, st = self._base(spark, intervals=[10, 20], gap_minutes=60)
         rep = expand_repeats(e, st).collect()
         starts = sorted(r["arrival_time"] for r in rep
                         if r["stop_sequence"] == 0)
-        assert starts == ["08:10:00", "08:30:00", "08:40:00", "09:00:00"]
+        assert starts == ["08:10:00", "08:30:00", "08:40:00"]
 
     def test_copies_preserve_shape(self, spark):
         e, st = self._base(spark, intervals=[30], gap_minutes=60)

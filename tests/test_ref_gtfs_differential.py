@@ -96,20 +96,25 @@ def repo_feed(payload, spark):
     id-free normalized feed."""
     from pdf2gtfs_spark.operators.feed import FEED_DATE_BOUNDS, build_feed
     from pdf2gtfs_spark.operators.gtfs import build_calendar
-    from pdf2gtfs_spark.plans.pipeline import entries_table, run_extract
+    from pdf2gtfs_spark.plans.pipeline import (
+        entries_table, run_extract, stops_table,
+    )
 
     tdf = spark.createDataFrame(
         pd.DataFrame([("c0", 0, "user", payload, "",
                        datetime(2024, 1, 1))],
                      columns=["conv_id", "turn_idx", "role", "text",
                               "tool", "ts"]))
-    entries = entries_table(run_extract(tdf)).cache()
+    extracted = run_extract(tdf).cache()
+    entries = entries_table(extracted)
     try:
         feed = {k: v.toPandas()
-                for k, v in build_feed(entries, spark).items()}
+                for k, v in build_feed(entries, spark,
+                                       stops_src=stops_table(extracted))
+                .items()}
         cal = build_calendar(entries).toPandas()
     finally:
-        entries.unpersist()
+        extracted.unpersist()
 
     stop_name = dict(zip(feed["stops"].stop_id, feed["stops"].stop_name))
     route_key = {r.route_id: (r.route_short_name, r.route_long_name)
@@ -169,6 +174,50 @@ class TestFixtureFeeds:
         rf = assert_feed_equivalent(payload, spark, "kvv")
         assert any(a != d for _, _, sts in rf["trips"]
                    for _, a, d in sts), "kvv has an/ab arr!=dep stops"
+
+
+class TestServiceDayOffsets:
+    """Cross-entry service-day chain (handler.py:144-217): columns
+    crossing midnight get +24h via new_day(), and the accumulated
+    offset re-enters as Time(offset) = HOURS (the reference quirk), so
+    the n-th crossing column sits at raw + 24h + (n-1)h."""
+
+    @staticmethod
+    def _chain(col_starts, n_stops=8):
+        from pdf2gtfs_spark.kernel.payload import CHAR_W
+        cells = []
+        x_stops = 40.0
+        xs = [x_stops + 22 * CHAR_W + k * 10 * CHAR_W
+              for k in range(len(col_starts))]
+        cells.append(("Sonntag", xs[0], 86.0))
+        for s in range(n_stops):
+            y = 100.0 + s * 10
+            cells.append((f"Halt {chr(65 + s)} Strasse", x_stops, y))
+            for k, x in enumerate(xs):
+                h0, m0 = col_starts[k]
+                m = (h0 * 60 + m0 + 3 * s) % 1440
+                cells.append((f"{m // 60}.{m % 60:02}", x, y))
+        return cells
+
+    @pytest.mark.parametrize("starts", [
+        ((23, 50), (0, 10), (0, 40)),                    # 2 crossings
+        ((22, 0), (23, 0), (0, 30), (1, 0), (0, 15)),    # mixed chain
+        ((10, 0), (9, 0), (11, 0)),                      # mid-day back
+    ])
+    def test_midnight_chain(self, spark, starts):
+        from test_newpath import _payload
+        payload = _payload(self._chain(list(starts)))
+        rf = assert_feed_equivalent(payload, spark,
+                                    f"chain{starts}")
+        assert rf["trips"], "chain must produce trips"
+
+    def test_hour_quirk_pinned(self, spark):
+        """The second crossing column lands at 25:40, not 24:40."""
+        from test_newpath import _payload
+        payload = _payload(self._chain([(23, 50), (0, 10), (0, 40)]))
+        rf = ref_feed(payload)
+        times = sorted(t for _, _, sts in rf["trips"] for _, t, _ in sts)
+        assert any(t.startswith("25:") for t in times), times[-3:]
 
 
 class TestSyntheticFeeds:
