@@ -1,0 +1,806 @@
+"""End-to-end stop-location search: the reference's per-route heap
+Dijkstra (locate/finder/) re-expressed Spark-first.
+
+The search itself is inherently sequential PER ROUTE (a priority
+chain over stop layers with mutation — loc_nodes.py Nodes/NodeHeap),
+so the kernel runs route-local inside ``applyInPandas`` and Spark
+parallelizes across routes: at feed scale the candidates frame is
+joined to the route->stop mapping, shuffled once on route_id, and
+every route's search runs where its candidate rows land.  Everything
+around it (candidate preparation, best-node selection, interpolation)
+is DataFrame algebra.
+
+Mirrored semantics (each differential-tested against the actual
+reference implementation in tests/test_ref_route_differential.py):
+
+- Stops chain + distance bounds from per-edge average travel times
+  (finder/stops.py:18-100; Time arithmetic incl. from_hours rounding
+  and the zero-clamping subtraction, gtfs_output/stop_times.py:25-130);
+- candidate preparation: word-boundary prefilter, name_cost,
+  include/exclude node scoring (locate/__init__.py:138-257);
+- the Nodes container quirks: per-stop frames, the missing-node index
+  counter being consumed TWICE for candidate-less stops
+  (loc_nodes.py:346-359 _initialize_dfs + create_nodes_for_stop both
+  call filter_df_by_stop), inf-cost nodes never entering the heap;
+- the NodeHeap: a stable sorted list where equal costs insert at the
+  END of their band and an updated node keeps its position while it
+  still fits between its neighbors (loc_nodes.py:546-646);
+- Dijkstra expansion: close-neighbor pruning (component-wise lat/lon
+  distances vs the stop's upper bound), parent selection preferring
+  node types (ENode > Node > MNode) before cost, missing-neighbor
+  spawning only on dead ends (loc_nodes.py:196-272);
+- select_best_nodes: Stop.__eq__ is identity, so the per-stop counts
+  are all 1 and the max picks the FIRST node in route-priority order
+  (locate/__init__.py:260-277);
+- global interpolation over the best nodes in first-seen order after
+  resetting missing locations (finder/__init__.py:84-163) — the
+  per-route interpolation inside find_stop_nodes only feeds the map
+  display and is skipped here.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from math import inf, log
+
+import numpy as np
+import pandas as pd
+
+from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
+from pdf2gtfs_spark.functions.normalize import normalize_name
+from pdf2gtfs_spark.operators import register
+
+M_PER_LAT_DEG = 111320.0
+
+# reference config defaults (config.template.yaml / properties.py:394-410)
+AVERAGE_SPEED_KMH = 25          # gtfs_routetype "Tram" -> GTFS value 0
+TRAVEL_OFFSET_MINUTES = 2       # average_travel_distance_offset
+MIN_TRAVEL_DISTANCE = 30.0      # min_travel_distance
+MISSING_NODE_COST = 500.0       # missing_node_cost
+
+
+# ---------------------------------------------------------------------------
+# Time mirror (gtfs_output/stop_times.py:25-130) — integer h/m/s with the
+# reference's rounding and zero-clamping subtraction
+# ---------------------------------------------------------------------------
+
+def _time_from_hours(hours: float) -> tuple[int, int, int]:
+    float_minutes = 60 * hours
+    h = int(float_minutes) // 60
+    minutes = float_minutes % 60
+    seconds = int(round((minutes - int(minutes)) * 60, 0))
+    return h, int(minutes), seconds
+
+
+def _time_to_hours(t: tuple[int, int, int]) -> float:
+    return t[0] + t[1] / 60 + t[2] / 3600
+
+
+def _time_sub_hours(sec_a: int, sec_b: int) -> float:
+    """|a - b| with the reference's clamped Time subtraction: negative
+    differences collapse to zero (and are later skipped)."""
+    d = sec_a - sec_b
+    if d < 0:
+        return 0.0
+    return d / 3600
+
+
+def avg_edge_time_hours(diffs_hours: list[float]) -> tuple[int, int, int]:
+    """mean of the nonzero diffs -> Time (handler.py:321-351)."""
+    diffs = [d for d in diffs_hours if d != 0.0]
+    if not diffs:
+        return (0, 0, 0)
+    return _time_from_hours(sum(diffs) / len(diffs))
+
+
+def distance_bounds(avg_time: tuple[int, int, int]
+                    ) -> tuple[float, float, float]:
+    """finder/stops.py:71-90 (lower/mid/upper in meters)."""
+    def dist(t: tuple[int, int, int]) -> float:
+        return _time_to_hours(t) * AVERAGE_SPEED_KMH * 1000
+
+    # Time subtraction clamps at zero (stop_times.py:96-110)
+    off = (0, TRAVEL_OFFSET_MINUTES, 0)
+    lo_secs = (_time_to_hours(avg_time) - _time_to_hours(off)) * 3600
+    lower = (max(0.0, lo_secs) / 3600) * AVERAGE_SPEED_KMH * 1000
+    mid = dist(avg_time)
+    upper = (_time_to_hours(avg_time) + _time_to_hours(off)) \
+        * AVERAGE_SPEED_KMH * 1000
+    return (max(lower, MIN_TRAVEL_DISTANCE),
+            max(mid, MIN_TRAVEL_DISTANCE),
+            max(upper, MIN_TRAVEL_DISTANCE))
+
+
+# ---------------------------------------------------------------------------
+# candidate preparation (locate/__init__.py:138-257)
+# ---------------------------------------------------------------------------
+
+def stop_regex(stop_name: str) -> str:
+    norm = normalize_name(stop_name)
+    return " ".join(rf"\b{re.escape(w)}\b" for w in norm.split(" "))
+
+
+def prepare_candidates(stops: list[tuple[str, str]], raw: pd.DataFrame,
+                       includes: dict, excludes: dict,
+                       cat_keys: tuple[str, ...]) -> pd.DataFrame:
+    """raw (names/lat/lon/<cat columns>/ref_ifopt/wheelchair) ->
+    per-(stop_id, candidate) rows with idx/name_cost/node_cost.
+
+    Index semantics matter: idx is the positional index of the
+    concatenated per-stop frames (add_extra_columns pd.concat with
+    ignore_index), which the reference uses as the node identity."""
+    pre_mask = pd.Series(False, index=raw.index)
+    regexes = {}
+    for stop_id, stop_name in stops:
+        regexes[stop_id] = stop_regex(stop_name)
+        pre_mask |= raw["names"].str.contains(regexes[stop_id], regex=True)
+    pre = raw[pre_mask]
+
+    frames = []
+    for stop_id, stop_name in stops:
+        f = pre[pre["names"].str.contains(regexes[stop_id],
+                                          regex=True)].copy()
+        if f.empty:
+            continue
+        stop_len = len(normalize_name(stop_name).replace(" ", ""))
+        f["name_cost"] = f["names"].map(
+            lambda names: min(abs(stop_len - len(nm.replace(" ", "")))
+                              for nm in names.split("|")))
+        f["stop_id"] = stop_id
+        # node identity: the RAW frame's index (add_extra_columns sets
+        # idx = filtered_df.index BEFORE the ignore_index concat, so a
+        # node shared between stops keeps one id)
+        f["idx"] = f.index
+        frames.append(f)
+    if not frames:
+        return pd.DataFrame(columns=["idx", "stop_id", "names", "lat",
+                                     "lon", "node_cost", "name_cost"])
+    df = pd.concat(frames, ignore_index=True)
+
+    def cat_score(key: str, value: str) -> float:
+        if value in excludes.get(key, []):
+            return inf
+        try:
+            return includes.get(key, {})[value] * 5
+        except KeyError:
+            return 20
+
+    cat_cols = np.array([[cat_score(k, v) for v in df[k]]
+                         for k in cat_keys])
+    min_cat = cat_cols.min(axis=0) if len(df) else np.array([])
+    opts = (5 * (df["ref_ifopt"] == "").to_numpy(dtype=float)
+            + 3 * (~df["wheelchair"].isin(["yes", "no", "limited"]))
+            .to_numpy(dtype=float))
+    df["node_cost"] = (min_cat + opts) ** 2 // 20
+    return df[["idx", "stop_id", "names", "lat", "lon", "node_cost",
+               "name_cost"]]
+
+
+# ---------------------------------------------------------------------------
+# per-route kernel: Cost, heap, nodes, Dijkstra
+# ---------------------------------------------------------------------------
+
+def _clean_cost(c: float | None) -> float:
+    return inf if c is None or c < 0 else c
+
+
+@dataclass
+class _Cost:
+    """cost.py:9-92 — ordering sums the four parts, with the
+    inf-count tiebreak when both sums are infinite."""
+    parent: float
+    node: float
+    name: float
+    travel: float
+
+    def __post_init__(self) -> None:
+        self.parent = _clean_cost(self.parent)
+        self.node = _clean_cost(self.node)
+        self.name = _clean_cost(self.name)
+        t = _clean_cost(self.travel)
+        if t != inf:
+            t = min(round(t), 100)
+        self.travel = t
+
+    @property
+    def as_float(self) -> float:
+        return self.parent + self.node + self.name + self.travel
+
+    def lt(self, other: "_Cost") -> bool:
+        a_inf, b_inf = self.as_float == inf, other.as_float == inf
+        if not a_inf and not b_inf:
+            return self.as_float < other.as_float
+        if a_inf != b_inf:
+            return not a_inf
+        mine = [self.parent, self.node, self.name, self.travel].count(inf)
+        theirs = [other.parent, other.node, other.name,
+                  other.travel].count(inf)
+        return mine < theirs
+
+    def eq(self, other: "_Cost") -> bool:
+        """cost.py:52-62 — asymmetric quirk: exactly one infinite side
+        compares equal iff the OTHER side is finite."""
+        a_inf, b_inf = self.as_float == inf, other.as_float == inf
+        if a_inf != b_inf:
+            return not b_inf
+        return self.as_float == other.as_float
+
+    def le(self, other: "_Cost") -> bool:
+        return self.eq(other) or self.lt(other)
+
+
+class _KNode:
+    __slots__ = ("stop_pos", "index", "names", "lat", "lon", "cost",
+                 "parent", "has_children", "kind")
+
+    def __init__(self, stop_pos, index, names, lat, lon, cost, kind):
+        self.stop_pos = stop_pos
+        self.index = index
+        self.names = names
+        # Location clamps out-of-range/NaN to 0 and rounds to 5
+        # decimals (location.py:40-60)
+        self.lat = self._clean(lat)
+        self.lon = self._clean(lon)
+        self.cost = cost
+        self.parent = None
+        self.has_children = False
+        self.kind = kind            # "node" | "missing"
+
+    @staticmethod
+    def _clean(v) -> float:
+        try:
+            v = float(v)
+        except (TypeError, ValueError):
+            return 0.0
+        if math.isnan(v) or v < -90 or v > 90:
+            return 0.0
+        return round(v, 5)
+
+    def dist_exact(self, other: "_KNode") -> float:
+        lat_mid = (self.lat + other.lat) / 2
+        per_lon = M_PER_LAT_DEG * abs(math.cos(math.radians(lat_mid)))
+        lat_d = abs(self.lat - other.lat) * M_PER_LAT_DEG
+        lon_d = abs(self.lon - other.lon) * per_lon
+        return math.sqrt(lat_d ** 2 + lon_d ** 2)
+
+    def component_dists(self, other: "_KNode") -> tuple[float, float]:
+        lat_d = abs(self.lat - other.lat) * M_PER_LAT_DEG
+        lat_mid = (self.lat + other.lat) / 2
+        per_lon = M_PER_LAT_DEG * abs(math.cos(math.radians(lat_mid)))
+        return lat_d, abs(self.lon - other.lon) * per_lon
+
+
+def _travel_cost(from_node: _KNode, to_node: _KNode,
+                 bounds: tuple[float, float, float]) -> float:
+    """loc_nodes.py:471-499."""
+    if from_node.kind == "missing" or to_node.kind == "missing":
+        return 0.0
+    d = from_node.dist_exact(to_node)
+    if d < MIN_TRAVEL_DISTANCE:
+        return inf
+    lower, mid, upper = bounds
+    dist_to_mid = max(1, abs(d - mid))
+    log_base = 8.0
+    if d < lower:
+        log_base /= lower // d
+    if d > upper:
+        log_base /= d // upper
+    log_base = max(1.001, log_base)
+    return max(1, int(log(max(1, int(log(dist_to_mid, log_base) ** 4)), 2)))
+
+
+class _Heap:
+    """loc_nodes.py:546-646 — stable insertion-ordered cost list."""
+
+    def __init__(self) -> None:
+        self._items: list[_KNode] = []
+        self._present: set[int] = set()
+
+    def add(self, node: _KNode) -> None:
+        if node.cost.as_float == inf:
+            return
+        if id(node) in self._present:
+            self.update(node)
+            return
+        self._insert(node)
+
+    def _insert(self, node: _KNode) -> None:
+        cost = node.cost.as_float
+        pos = len(self._items)
+        for i, it in enumerate(self._items):
+            if it.cost.as_float > cost:
+                pos = i
+                break
+        self._items.insert(pos, node)
+        self._present.add(id(node))
+
+    def update(self, node: _KNode) -> None:
+        if id(node) not in self._present:
+            self.add(node)
+            return
+        i = self._items.index(node)
+        cost = node.cost.as_float
+        prev_ok = i == 0 or self._items[i - 1].cost.as_float <= cost
+        next_ok = (i == len(self._items) - 1
+                   or self._items[i + 1].cost.as_float >= cost)
+        if prev_ok and next_ok:
+            return
+        del self._items[i]
+        self._present.discard(id(node))
+        self.add(node)
+
+    def pop(self) -> _KNode:
+        node = self._items.pop(0)
+        self._present.discard(id(node))
+        return node
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+
+class _RouteSearch:
+    """One route's Stops+Nodes+Dijkstra (finder/__init__.py:25-61)."""
+
+    def __init__(self, stops: list[tuple[str, str]],
+                 bounds: list[tuple[float, float, float]],
+                 cands: pd.DataFrame) -> None:
+        self.stops = stops                     # [(stop_id, name)]
+        self.bounds = bounds                   # per stop (to next)
+        self.heap = _Heap()
+        self.layers: list[list[_KNode]] = [[] for _ in stops]
+        self.node_map: dict[tuple[int, int], _KNode] = {}
+        self.next_missing_idx = -1
+        by_stop = dict(tuple(cands.groupby("stop_id", sort=False)))
+        # the reference consumes missing ids in two passes: first
+        # _initialize_dfs synthesizes (and discards) one frame per
+        # candidate-less stop for ALL stops, then create_nodes_for_stop
+        # filters again per stop — so with E empty stops the created
+        # MNodes get ids -(E+1) .. -2E (loc_nodes.py:346-359, 431-443)
+        for stop_id, _ in stops:
+            df = by_stop.get(stop_id)
+            if df is None or df.empty:
+                self.next_missing_idx -= 1
+        for pos, (stop_id, name) in enumerate(stops):
+            df = by_stop.get(stop_id)
+            if df is None or df.empty:
+                rows = [(self.next_missing_idx, name, 0.0, 0.0, 0.0, 0.0)]
+                self.next_missing_idx -= 1
+            else:
+                rows = list(zip(df["idx"], df["names"], df["lat"],
+                                df["lon"], df["node_cost"],
+                                df["name_cost"]))
+            for idx, names, lat, lon, node_cost, name_cost in rows:
+                key = (pos, int(idx))
+                if key in self.node_map:
+                    node = self.node_map[key]
+                else:
+                    lat_c = _KNode._clean(lat)
+                    lon_c = _KNode._clean(lon)
+                    if lat_c == 0 or lon_c == 0:
+                        node = _KNode(pos, int(idx), names, lat, lon,
+                                      _Cost(inf, MISSING_NODE_COST, 0, 0),
+                                      "missing")
+                    else:
+                        node = _KNode(pos, int(idx), names, lat, lon,
+                                      _Cost(inf, node_cost, name_cost,
+                                            None), "node")
+                    self._add(node)
+                if pos == 0:
+                    # StartCost: parent and travel collapse to 0
+                    node.cost = _Cost(0, node.cost.node, node.cost.name, 0)
+                    self.heap.update(node)
+
+    def _add(self, node: _KNode) -> None:
+        self.node_map[(node.stop_pos, node.index)] = node
+        self.layers[node.stop_pos].append(node)
+        self.heap.add(node)
+
+    # -- expansion ---------------------------------------------------------
+
+    def _max_dist(self, node: _KNode) -> float:
+        if node.kind == "missing":
+            if node.parent is None:
+                return inf
+            return self.bounds[node.stop_pos][2] \
+                + self._max_dist(node.parent)
+        return self.bounds[node.stop_pos][2]
+
+    def _close(self, node: _KNode, other: _KNode,
+               max_dist: float = 0) -> bool:
+        """Node.close_nodes / MNode.close_nodes
+        (loc_nodes.py:216-225, 310-318)."""
+        if node.kind == "missing":
+            if node.parent is None:
+                return True
+            return self._close(node.parent, other, self._max_dist(node))
+        if other.kind == "missing" and other.parent is None:
+            return True
+        if max_dist == 0:
+            max_dist = self._max_dist(node)
+        return all(d <= max_dist
+                   for d in node.component_dists(other))
+
+    def _cost_with_parent(self, node: _KNode, parent: _KNode) -> _Cost:
+        if node.kind == "missing":
+            return _Cost(parent.cost.as_float, MISSING_NODE_COST, 0, 0)
+        tc = _travel_cost(parent, node, self.bounds[parent.stop_pos])
+        return _Cost(parent.cost.as_float, node.cost.node,
+                     node.cost.name, tc)
+
+    def _set_parent(self, node: _KNode, parent: _KNode) -> None:
+        if node.parent is not None and parent is node.parent:
+            return
+        cost = self._cost_with_parent(node, parent)
+        if cost.as_float == inf:
+            return
+        node.parent = parent
+        node.cost = cost
+        parent.has_children = True
+        self.heap.update(node)
+
+    def _update_parent_if_better(self, node: _KNode,
+                                 parent: _KNode) -> None:
+        if node.parent is None:
+            self._set_parent(node, parent)
+            return
+        p1, p2 = node.parent, parent
+        # type preference: Node beats MNode (no ENodes here,
+        # loc_nodes.py:227-254)
+        m1, m2 = p1.kind == "missing", p2.kind == "missing"
+        if m1 != m2:
+            better = p2 if m1 else p1
+        else:
+            c1 = self._cost_with_parent(node, p1)
+            c2 = self._cost_with_parent(node, p2)
+            better = p1 if c1.le(c2) else p2
+        self._set_parent(node, better)
+
+    def _update_neighbors(self, node: _KNode) -> None:
+        has_neighbors = False
+        for neighbor in list(self.layers[node.stop_pos + 1]):
+            if not self._close(node, neighbor):
+                continue
+            self._update_parent_if_better(neighbor, node)
+            if neighbor.kind == "missing":
+                continue
+            has_neighbors = True
+        if has_neighbors or node.has_children:
+            return
+        # dead end: spawn a missing neighbor (loc_nodes.py:256-272,
+        # 410-421); no ENodes exist, so stop.next.exists is False
+        stop_name = self.stops[node.stop_pos + 1][1]
+        neighbor = _KNode(node.stop_pos + 1, self.next_missing_idx,
+                          stop_name, 0.0, 0.0,
+                          _Cost(inf, MISSING_NODE_COST, 0, 0), "missing")
+        self.next_missing_idx -= 1
+        self._update_parent_if_better(neighbor, node)
+        self.node_map[(neighbor.stop_pos, neighbor.index)] = neighbor
+        self.layers[neighbor.stop_pos].append(neighbor)
+        self.heap.add(neighbor)
+
+    def run(self) -> list[_KNode]:
+        last = len(self.stops) - 1
+        while True:
+            if not len(self.heap):
+                raise RuntimeError("route search exhausted "
+                                   "(the reference crashes here too)")
+            node = self.heap.pop()
+            if node.stop_pos == last:
+                if node.parent is None:
+                    continue
+                break
+            self._update_neighbors(node)
+        route = []
+        cur = node
+        while cur is not None:
+            route.append(cur)
+            cur = cur.parent
+        return route[::-1]
+
+
+def run_route_search(stops: list[tuple[str, str]],
+                     edge_avg_hours: list[float],
+                     cands: pd.DataFrame) -> pd.DataFrame:
+    """One route end-to-end; returns one row per stop of the found
+    chain (stop_pos, stop_id, node index, names, lat, lon, costs)."""
+    bounds = []
+    for h in edge_avg_hours:
+        bounds.append(distance_bounds(_time_from_hours(h)))
+    bounds.append((inf, inf, inf))      # last stop has no next
+    search = _RouteSearch(stops, bounds, cands)
+    route = search.run()
+    rows = []
+    for n in route:
+        rows.append({
+            "stop_pos": n.stop_pos,
+            "stop_id": stops[n.stop_pos][0],
+            "node_idx": int(n.index),
+            "names": n.names,
+            "lat": n.lat, "lon": n.lon,
+            "cost": float(n.cost.as_float),
+            "is_missing": n.kind == "missing",
+        })
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# route metadata from the feed frames (handler.py:312-360,
+# locate/__init__.py:95-137)
+# ---------------------------------------------------------------------------
+
+def _trip_sort_key(trip_id: str) -> tuple:
+    """Document order of trip creation: (conv, turn, table, entry, k);
+    repeat trips ('<anchor>#k') follow their anchor."""
+    base, _, k = trip_id.partition("#")
+    parts = base.split("/")
+    conv = "/".join(parts[:-3])
+    turn, table, entry = parts[-3:]
+    return (conv, int(turn), int(table), int(entry), int(k) if k else 0)
+
+
+def unique_routes_meta(trips: pd.DataFrame, stop_times: pd.DataFrame,
+                       stops: pd.DataFrame) -> list[dict]:
+    """[{route_id, rank, stops: [(stop_id, name)], edge_hours: [...]}]
+    with the containment dedup and the desc-by-length priority order.
+
+    Feed-grain (a feed's route list is small); the heavy candidate
+    frame never comes near this step.
+    """
+    name_of = {str(i): n for i, n in
+               zip(stops["stop_id"], stops["stop_name"])}
+    st = stop_times.copy()
+    st["stop_id"] = st["stop_id"].astype(str)
+    st["trip_id"] = st["trip_id"].astype(str)
+    if "arr_seconds" not in st.columns:
+        # GTFS frames carry HH:MM:SS strings (Time.from_gtfs)
+        def secs(col):
+            parts = st[col].str.split(":", expand=True).astype(int)
+            return parts[0] * 3600 + parts[1] * 60 + parts[2]
+
+        st["arr_seconds"] = secs("arrival_time")
+        st["dep_seconds"] = secs("departure_time")
+    st["_tkey"] = st["trip_id"].map(_trip_sort_key)
+    st = st.sort_values(["_tkey", "stop_sequence"], kind="stable")
+
+    trips_sorted = trips.copy()
+    trips_sorted["trip_id"] = trips_sorted["trip_id"].astype(str)
+    trips_sorted["route_id"] = trips_sorted["route_id"].astype(str)
+    trips_sorted["_tkey"] = trips_sorted["trip_id"].map(_trip_sort_key)
+    trips_sorted = trips_sorted.sort_values("_tkey", kind="stable")
+
+    st_by_trip = {tid: g for tid, g in st.groupby("trip_id", sort=False)}
+
+    route_first_trip: dict[str, str] = {}
+    route_trips: dict[str, list[str]] = {}
+    route_order: list[str] = []
+    for row in trips_sorted.itertuples():
+        if row.trip_id not in st_by_trip:
+            continue
+        if row.route_id not in route_first_trip:
+            route_first_trip[row.route_id] = row.trip_id
+            route_order.append(row.route_id)
+        route_trips.setdefault(row.route_id, []).append(row.trip_id)
+
+    route_stop_ids = {
+        r: list(st_by_trip[route_first_trip[r]]["stop_id"])
+        for r in route_order}
+
+    # get_sorted_route_ids: desc by stop count, stable by add order
+    ordered = sorted(route_order,
+                     key=lambda r: -len(route_stop_ids[r]))
+
+    def contains(container: list, contained: list) -> bool:
+        rest = list(contained)
+        for s in container:
+            if rest and rest[0] == s:
+                rest.pop(0)
+        return not rest
+
+    kept: list[str] = []
+    for r in ordered:
+        if any(contains(route_stop_ids[k], route_stop_ids[r])
+               for k in kept):
+            continue
+        kept.append(r)
+
+    metas = []
+    for rank, r in enumerate(kept):
+        sids = route_stop_ids[r]
+        edge_hours = []
+        for s1, s2 in zip(sids, sids[1:]):
+            edge_hours.append(_avg_edge_hours(
+                st, route_trips[r], s1, s2))
+        metas.append({
+            "route_id": r, "rank": rank,
+            "stops": [(sid, name_of.get(sid, "")) for sid in sids],
+            "edge_hours": edge_hours,
+        })
+    return metas
+
+
+def _avg_edge_hours(st_sorted: pd.DataFrame, trip_ids: list[str],
+                    stop_id1: str, stop_id2: str) -> float:
+    """get_avg_time_between_stops (handler.py:321-351) on the
+    globally-ordered stop_times frame."""
+    tset = set(trip_ids)
+    sel = st_sorted[st_sorted["trip_id"].isin(tset)]
+    t1 = sel[sel["stop_id"] == stop_id1]
+    t2 = sel[sel["stop_id"] == stop_id2]
+    if len(t1) != len(t2) or len(t1) == 0:
+        return 0.0
+    diffs = []
+    for a, b in zip(t1.itertuples(), t2.itertuples()):
+        if a.trip_id != b.trip_id or not a.stop_sequence < b.stop_sequence:
+            return 0.0
+        d = _time_sub_hours(int(b.arr_seconds), int(a.dep_seconds))
+        if d == 0.0:
+            continue
+        diffs.append(abs(d))
+    if not diffs:
+        return 0.0
+    # reference: Time.from_hours(mean) then to_hours at use — keep the
+    # integer-second rounding
+    return _time_to_hours(_time_from_hours(sum(diffs) / len(diffs)))
+
+
+# ---------------------------------------------------------------------------
+# Spark composition
+# ---------------------------------------------------------------------------
+
+def find_route_nodes(spark, metas: list[dict],
+                     candidates) -> "DataFrame":
+    """Per-route search distributed with applyInPandas: candidates are
+    joined to the route->stop mapping (one shuffle on route_id) and
+    each route's kernel runs where its rows land."""
+    from pyspark.sql import functions as F
+
+    map_rows = []
+    for m in metas:
+        for pos, (sid, name) in enumerate(m["stops"]):
+            map_rows.append((str(m["route_id"]), m["rank"], pos,
+                             str(sid), name))
+    route_map = spark.createDataFrame(
+        map_rows, "route_id string, rank int, stop_pos int, "
+                  "stop_id string, stop_name string")
+    meta_b = {str(m["route_id"]): m for m in metas}
+
+    joined = route_map.join(
+        candidates.withColumn("stop_id",
+                              F.col("stop_id").cast("string")),
+        "stop_id", "left")
+
+    out_schema = ("route_id string, rank int, stop_pos int, "
+                  "stop_id string, node_idx long, names string, "
+                  "lat double, lon double, cost double, "
+                  "is_missing boolean")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        route_id = key[0]
+        m = meta_b[route_id]
+        cands = pdf[pdf["idx"].notna()][
+            ["idx", "stop_id", "names", "lat", "lon", "node_cost",
+             "name_cost"]]
+        # candidate order must be the prepared frame's row order
+        cands = cands.sort_values("idx", kind="stable")
+        found = run_route_search(m["stops"], m["edge_hours"], cands)
+        found["route_id"] = route_id
+        found["rank"] = m["rank"]
+        return found[["route_id", "rank", "stop_pos", "stop_id",
+                      "node_idx", "names", "lat", "lon", "cost",
+                      "is_missing"]]
+
+    return joined.groupBy("route_id").applyInPandas(kernel, out_schema)
+
+
+@register("locate_route_pipeline")
+def locate_route_pipeline_query(spark, sf_dir: str):
+    """Driver query: the full route-location search over deterministic
+    synthetic routes + candidates derived from `nation`/`customer`.
+
+    The heap search is not SQL-expressible (sequential mutation with
+    insertion-order tie rules), so this query is registered WITHOUT an
+    oracle — correctness is carried by the end-to-end differential
+    against the reference pipeline
+    (tests/test_ref_route_differential.py)."""
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").orderBy(
+        "n_nationkey").limit(10).collect()
+    stops = [(str(r["n_nationkey"]), r["n_name"].lower()) for r in n]
+    # two overlapping routes over the stop chain
+    metas = [
+        {"route_id": "r0", "rank": 0, "stops": stops,
+         "edge_hours": [0.05 + 0.01 * (i % 3)
+                        for i in range(len(stops) - 1)]},
+        {"route_id": "r1", "rank": 1, "stops": stops[2:8],
+         "edge_hours": [0.06] * 5},
+    ]
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cands = (c.where("c_custkey % 97 < 20")
+             .join(spark.read.parquet(f"{sf_dir}/nation.parquet"),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+             .where(F.col("n_nationkey") < 10)
+             .select(
+                 F.col("c_custkey").cast("long").alias("idx"),
+                 F.col("n_nationkey").cast("string").alias("stop_id"),
+                 F.lower("n_name").alias("names"),
+                 (49.0 + (F.col("c_custkey") % 89) / 1000.0)
+                 .alias("lat"),
+                 (8.4 + (F.col("c_custkey") % 79) / 1000.0).alias("lon"),
+                 ((F.col("c_custkey") % 5) * 4.0).alias("node_cost"),
+                 (F.col("c_custkey") % 3).cast("double")
+                 .alias("name_cost")))
+    found = find_route_nodes(spark, metas, cands)
+    best = select_and_interpolate(found.toPandas())
+    return (spark.createDataFrame(best)
+            .select("stop_id", "node_idx", "lat", "lon", "is_missing")
+            .orderBy("stop_id"))
+
+
+def select_and_interpolate(found: pd.DataFrame) -> pd.DataFrame:
+    """Best node per stop + global interpolation, mirroring
+    select_best_nodes (first in route-priority order; Stop identity
+    makes all counts 1) and interpolate_missing_node_locations over
+    the first-seen stop order."""
+    found = found.sort_values(["rank", "stop_pos"], kind="stable")
+    best: dict[str, dict] = {}
+    order: list[str] = []
+    for row in found.to_dict("records"):
+        sid = row["stop_id"]
+        if sid not in best:
+            best[sid] = row
+            order.append(sid)
+        elif best[sid]["is_missing"] and not row["is_missing"]:
+            best[sid] = row
+    seq = [dict(best[sid]) for sid in order]
+
+    # reset missing locations, then 3-phase interpolation
+    for r in seq:
+        if r["is_missing"]:
+            r["lat"] = None
+            r["lon"] = None
+    valid_idx = [i for i, r in enumerate(seq) if r["lat"] is not None]
+    if len(valid_idx) >= 2:
+        # intermediate: iterative rounded additions mirroring
+        # Location's per-assignment round(.., 5)
+        # (finder/__init__.py:84-108, location.py:51-60)
+        for a, b in zip(valid_idx, valid_idx[1:]):
+            gap = b - a
+            if gap > 1:
+                dlat = round((seq[b]["lat"] - seq[a]["lat"]) / gap, 5)
+                dlon = round((seq[b]["lon"] - seq[a]["lon"]) / gap, 5)
+                cur_lat, cur_lon = seq[a]["lat"], seq[a]["lon"]
+                for j in range(a + 1, b):
+                    cur_lat = round(cur_lat + dlat, 5)
+                    cur_lon = round(cur_lon + dlon, 5)
+                    seq[j]["lat"], seq[j]["lon"] = cur_lat, cur_lon
+        # trailing: extend the last consecutive step vector
+        # (finder/__init__.py:110-123)
+        last = valid_idx[-1]
+        if last + 1 < len(seq):
+            dlat = round(seq[last]["lat"] - seq[last - 1]["lat"], 5) \
+                if last > 0 else 0.0
+            dlon = round(seq[last]["lon"] - seq[last - 1]["lon"], 5) \
+                if last > 0 else 0.0
+            cur_lat, cur_lon = seq[last]["lat"], seq[last]["lon"]
+            for j in range(last + 1, len(seq)):
+                cur_lat = round(cur_lat + dlat, 5)
+                cur_lon = round(cur_lon + dlon, 5)
+                seq[j]["lat"], seq[j]["lon"] = cur_lat, cur_lon
+        # leading: the reference reverses the list and repeats the
+        # trailing pass
+        first = valid_idx[0]
+        if first > 0:
+            nxt_i = first + 1
+            dlat = round(seq[first]["lat"] - seq[nxt_i]["lat"], 5) \
+                if nxt_i < len(seq) else 0.0
+            dlon = round(seq[first]["lon"] - seq[nxt_i]["lon"], 5) \
+                if nxt_i < len(seq) else 0.0
+            cur_lat, cur_lon = seq[first]["lat"], seq[first]["lon"]
+            for j in range(first - 1, -1, -1):
+                cur_lat = round(cur_lat + dlat, 5)
+                cur_lon = round(cur_lon + dlon, 5)
+                seq[j]["lat"], seq[j]["lon"] = cur_lat, cur_lon
+    return pd.DataFrame(seq)
