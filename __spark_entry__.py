@@ -44,12 +44,38 @@ def entry(spark: SparkSession) -> DataFrame:
             .orderBy("conv_id", "turn_idx"))
 
 
+# The driver's correctness artifact records at most 50 rows in
+# registration order, but the registry holds >50 queries.  Rotate the
+# queries with the least driver-green history to the front so every
+# registered operator accumulates an externally-verified row across
+# rounds (VERDICT r3 ask #1).  Names listed here lead; the rest keep
+# registration order.
+_PRIORITY = [
+    # never (or least recently) captured in a CORRECTNESS_r* artifact:
+    "training_data_clean",
+    "dedup_connected_components",
+    "doc_fingerprint",
+    "langid_stopword_vote",
+    "quality_score",
+    "token_count",
+    # new in round 4:
+    "locate_route_tail",
+    "extract_skewed_salted",
+]
+
+
+def _rotate(mapping: dict) -> dict:
+    lead = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    rest = {k: v for k, v in mapping.items() if k not in lead}
+    return {**lead, **rest}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from pdf2gtfs_spark.operators import QUERIES, load_all
 
     load_all()
-    return dict(QUERIES)
+    return _rotate(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -58,4 +84,4 @@ def oracle_sql() -> dict[str, str]:
     from pdf2gtfs_spark.operators import ORACLES, load_all
 
     load_all()
-    return dict(ORACLES)
+    return _rotate(dict(ORACLES))

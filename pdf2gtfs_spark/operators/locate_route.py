@@ -676,7 +676,7 @@ def find_route_nodes(spark, metas: list[dict],
                   "lat double, lon double, cost double, "
                   "is_missing boolean")
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         route_id = key[0]
         m = meta_b[route_id]
         cands = pdf[pdf["idx"].notna()][
@@ -694,6 +694,28 @@ def find_route_nodes(spark, metas: list[dict],
     return joined.groupBy("route_id").applyInPandas(kernel, out_schema)
 
 
+def select_and_interpolate_spark(found) -> "DataFrame":
+    """Distributed tail of the locate stage: best-node selection +
+    3-phase interpolation per FEED, run where each feed's search rows
+    land (``groupBy(feed_id).applyInPandas``) — one shuffle on
+    ``feed_id``, no driver collect.  The per-feed frame is
+    stops x routes (small by construction), so the pandas kernel is
+    the same code the differential suite pins
+    (:func:`select_and_interpolate`)."""
+    out_schema = ("feed_id string, stop_id string, node_idx long, "
+                  "names string, lat double, lon double, "
+                  "is_missing boolean")
+
+    def tail_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        best = select_and_interpolate(pdf)
+        best = best.astype({"node_idx": "int64"})
+        best["feed_id"] = key[0]
+        return best[["feed_id", "stop_id", "node_idx", "names",
+                     "lat", "lon", "is_missing"]]
+
+    return found.groupBy("feed_id").applyInPandas(tail_kernel, out_schema)
+
+
 @register("locate_route_pipeline")
 def locate_route_pipeline_query(spark, sf_dir: str):
     """Driver query: the full route-location search over deterministic
@@ -703,7 +725,19 @@ def locate_route_pipeline_query(spark, sf_dir: str):
     insertion-order tie rules), so this query is registered WITHOUT an
     oracle — correctness is carried by the end-to-end differential
     against the reference pipeline
-    (tests/test_ref_route_differential.py)."""
+    (tests/test_ref_route_differential.py); the SQL-expressible tail
+    is additionally oracle-checked by ``locate_route_tail``."""
+    found = _search_found(spark, sf_dir)
+    best = select_and_interpolate_spark(found)
+    return (best
+            .select("stop_id", "node_idx", "lat", "lon", "is_missing")
+            .orderBy("stop_id"))
+
+
+def _search_found(spark, sf_dir: str) -> "DataFrame":
+    """Deterministic synthetic routes + candidates from
+    `nation`/`customer`, through the per-route heap search; returns the
+    per-(route, stop) found-node frame tagged with a feed id."""
     from pyspark.sql import functions as F
 
     n = spark.read.parquet(f"{sf_dir}/nation.parquet").orderBy(
@@ -732,11 +766,164 @@ def locate_route_pipeline_query(spark, sf_dir: str):
                  ((F.col("c_custkey") % 5) * 4.0).alias("node_cost"),
                  (F.col("c_custkey") % 3).cast("double")
                  .alias("name_cost")))
-    found = find_route_nodes(spark, metas, cands)
-    best = select_and_interpolate(found.toPandas())
-    return (spark.createDataFrame(best)
-            .select("stop_id", "node_idx", "lat", "lon", "is_missing")
-            .orderBy("stop_id"))
+    return (find_route_nodes(spark, metas, cands)
+            .withColumn("feed_id", F.lit("f0")))
+
+
+from pdf2gtfs_spark.operators._aux import aux_glob, write_aux_spark
+
+_FOUND_GLOB = aux_glob("route_search_found.parquet")
+
+# DuckDB recomputation of the locate tail (select_best_nodes,
+# locate/__init__.py:260-277, + the 3-phase global interpolation,
+# locate/finder/__init__.py:84-163) from the materialized search
+# output.  The iterated round(cur + step, 5) accumulation is expressed
+# with recursive CTEs; outputs are integer-ized to 1e-5 degrees so a
+# 1-ulp double divergence between engines cannot flip the hash.
+_TAIL_ORACLE = f"""
+WITH RECURSIVE found AS (
+  SELECT * FROM read_parquet('{_FOUND_GLOB}')
+),
+ordered AS (
+  SELECT stop_id, node_idx, lat, lon, is_missing,
+         row_number() OVER (ORDER BY rank, stop_pos) AS rid
+  FROM found
+),
+-- select_best: first non-missing row per stop in route-priority
+-- order, else the first row; seq order = first-seen stop order
+best AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY stop_id
+                            ORDER BY is_missing, rid) AS rb,
+         min(rid) OVER (PARTITION BY stop_id) AS first_rid
+  FROM ordered
+),
+seq0 AS (
+  SELECT stop_id, node_idx, is_missing,
+         CASE WHEN is_missing THEN NULL ELSE lat END AS lat,
+         CASE WHEN is_missing THEN NULL ELSE lon END AS lon,
+         row_number() OVER (ORDER BY first_rid) - 1 AS p
+  FROM best WHERE rb = 1
+),
+stats AS (
+  SELECT count(*) FILTER (lat IS NOT NULL) AS n_valid,
+         min(p) FILTER (lat IS NOT NULL) AS pfirst,
+         max(p) FILTER (lat IS NOT NULL) AS plast,
+         count(*) AS n
+  FROM seq0
+),
+-- phase A: fill gaps between consecutive valid positions with the
+-- reference's iterative round(cur + delta, 5) accumulation
+valid_pairs AS (
+  SELECT p AS a, lead(p) OVER (ORDER BY p) AS b,
+         lat AS lat_a, lead(lat) OVER (ORDER BY p) AS lat_b,
+         lon AS lon_a, lead(lon) OVER (ORDER BY p) AS lon_b
+  FROM seq0 WHERE lat IS NOT NULL
+),
+gaps AS (
+  SELECT a, b, lat_a, lon_a,
+         round((lat_b - lat_a) / (b - a), 5) AS dlat,
+         round((lon_b - lon_a) / (b - a), 5) AS dlon
+  FROM valid_pairs, stats WHERE b IS NOT NULL AND b - a > 1
+    AND n_valid >= 2
+),
+fill_a(a, b, p, lat, lon, dlat, dlon) AS (
+  SELECT a, b, a, lat_a, lon_a, dlat, dlon FROM gaps
+  UNION ALL
+  SELECT a, b, p + 1, round(lat + dlat, 5), round(lon + dlon, 5),
+         dlat, dlon
+  FROM fill_a WHERE p + 1 < b
+),
+seq_a AS (
+  SELECT s.p, s.stop_id, s.node_idx, s.is_missing,
+         coalesce(s.lat, i.lat) AS lat, coalesce(s.lon, i.lon) AS lon
+  FROM seq0 s LEFT JOIN (SELECT p, lat, lon FROM fill_a WHERE p > a) i
+    ON s.p = i.p
+),
+-- phase B: extend past the last valid position with the last step
+trail_seed AS (
+  SELECT st.plast AS p0, st.n, la.lat AS lat0, la.lon AS lon0,
+         CASE WHEN st.plast > 0
+              THEN round(la.lat - lb.lat, 5) ELSE 0.0 END AS dlat,
+         CASE WHEN st.plast > 0
+              THEN round(la.lon - lb.lon, 5) ELSE 0.0 END AS dlon
+  FROM stats st
+  JOIN seq_a la ON la.p = st.plast
+  LEFT JOIN seq_a lb ON lb.p = st.plast - 1
+  WHERE st.n_valid >= 2
+),
+fill_b(p, lat, lon, dlat, dlon, n) AS (
+  SELECT p0, lat0, lon0, dlat, dlon, n FROM trail_seed
+  UNION ALL
+  SELECT p + 1, round(lat + dlat, 5), round(lon + dlon, 5),
+         dlat, dlon, n
+  FROM fill_b WHERE p + 1 < n
+),
+seq_b AS (
+  SELECT s.p, s.stop_id, s.node_idx, s.is_missing,
+         coalesce(s.lat, i.lat) AS lat, coalesce(s.lon, i.lon) AS lon
+  FROM seq_a s
+  LEFT JOIN (SELECT p, lat, lon FROM fill_b
+             WHERE p > (SELECT plast FROM stats)) i
+    ON s.p = i.p
+),
+-- phase C: the reference reverses the list and repeats the trailing
+-- pass, i.e. walk backward from the first valid position
+lead_seed AS (
+  SELECT st.pfirst AS p0, fa.lat AS lat0, fa.lon AS lon0,
+         CASE WHEN st.pfirst + 1 < st.n
+              THEN round(fa.lat - fb.lat, 5) ELSE 0.0 END AS dlat,
+         CASE WHEN st.pfirst + 1 < st.n
+              THEN round(fa.lon - fb.lon, 5) ELSE 0.0 END AS dlon
+  FROM stats st
+  JOIN seq_b fa ON fa.p = st.pfirst
+  LEFT JOIN seq_b fb ON fb.p = st.pfirst + 1
+  WHERE st.n_valid >= 2 AND st.pfirst > 0
+),
+fill_c(p, lat, lon, dlat, dlon) AS (
+  SELECT p0, lat0, lon0, dlat, dlon FROM lead_seed
+  UNION ALL
+  SELECT p - 1, round(lat + dlat, 5), round(lon + dlon, 5),
+         dlat, dlon
+  FROM fill_c WHERE p - 1 >= 0
+),
+final AS (
+  SELECT s.stop_id, s.node_idx, s.is_missing,
+         coalesce(s.lat, i.lat) AS lat, coalesce(s.lon, i.lon) AS lon
+  FROM seq_b s
+  LEFT JOIN (SELECT p, lat, lon FROM fill_c
+             WHERE p < (SELECT pfirst FROM stats)) i
+    ON s.p = i.p
+)
+SELECT stop_id, CAST(node_idx AS BIGINT) AS node_idx,
+       CAST(round(lat * 100000) AS BIGINT) AS lat_e5,
+       CAST(round(lon * 100000) AS BIGINT) AS lon_e5,
+       is_missing
+FROM final ORDER BY stop_id
+"""
+
+
+@register("locate_route_tail", _TAIL_ORACLE)
+def locate_route_tail_query(spark, sf_dir: str):
+    """Oracle-checked tail of the locate stage: the per-route heap
+    search output is materialized as a parquet handoff (the heap
+    interior stays differential-only — it is not SQL-expressible) and
+    BOTH engines independently recompute best-node selection +
+    3-phase interpolation from it.  Upgrades `locate_route_pipeline`'s
+    rows-only status per VERDICT r3 ask #4."""
+    from pyspark.sql import functions as F
+
+    found = _search_found(spark, sf_dir)
+    write_aux_spark("route_search_found.parquet", found)
+    found = spark.read.parquet(
+        str(_FOUND_GLOB).rsplit("/", 1)[0])
+    best = select_and_interpolate_spark(found)
+    return (best.select(
+        "stop_id",
+        F.col("node_idx").cast("bigint").alias("node_idx"),
+        F.round(F.col("lat") * 100000).cast("bigint").alias("lat_e5"),
+        F.round(F.col("lon") * 100000).cast("bigint").alias("lon_e5"),
+        "is_missing").orderBy("stop_id"))
 
 
 def select_and_interpolate(found: pd.DataFrame) -> pd.DataFrame:

@@ -5,8 +5,11 @@ row count, schema (column names) and order-insensitive value hash."""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
