@@ -88,6 +88,26 @@ class TestPlanQuality:
         plan = _plan(gtfs_feed_pruning(spark, "/root/testdata/sf0.001"))
         assert "LeftSemi" in plan
 
+    def test_shingle_source_single_pass(self, spark):
+        """The char-4-gram shingle source is one scan of `documents`
+        per use — no self-join to re-fetch `text` — and the jaccard
+        inverted-index joins stay shuffle joins (a broadcast of the
+        exploded shingle stream is an executor-OOM hazard at corpus
+        scale; Catalyst picks it from understated Generate stats
+        unless pinned)."""
+        from pdf2gtfs_spark.operators.textops import (
+            dedup_ngram_jaccard, minhash_signatures)
+        sf = "/root/testdata/sf0.01"
+        sig_plan = _plan(minhash_signatures(spark, sf))
+        assert sig_plan.count("Scan parquet") == 1
+        assert "SortMergeJoin" not in sig_plan  # no text re-fetch join
+        jac_plan = _plan(dedup_ngram_jaccard(spark, sf))
+        # 6 uses of the shingle/sizes subtrees, one scan each (was 12
+        # with the join formulation)
+        assert jac_plan.count("Scan parquet") == 6
+        assert "BroadcastHashJoin" not in jac_plan
+        assert "BroadcastNestedLoopJoin" not in jac_plan
+
     def test_whole_stage_codegen_on_relational_path(self, spark):
         """After execution the final adaptive plan shows codegen stages
         and the two window passes share a single hash exchange."""
