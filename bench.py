@@ -145,6 +145,10 @@ def main() -> None:
              .config("spark.driver.bindAddress", "127.0.0.1")
              .config("spark.sql.session.timeZone", "UTC")
              .config("spark.sql.adaptive.enabled", "true")
+             # runtime skew-split for the join-heavy operator queries
+             # (default-on, pinned so the skew story is config-stable;
+             # gate: tests/test_plans.py::test_skew_salting_and_aqe)
+             .config("spark.sql.adaptive.skewJoin.enabled", "true")
              # AQE's size-based coalescing sees the reassembly shuffle
              # as "small" (~3KB/turn of CSV text) and folds it into one
              # partition — but this reduce is CPU-bound (string agg),

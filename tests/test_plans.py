@@ -88,6 +88,25 @@ class TestPlanQuality:
         plan = _plan(gtfs_feed_pruning(spark, "/root/testdata/sf0.001"))
         assert "LeftSemi" in plan
 
+    def test_skew_salting_and_aqe(self, spark):
+        """SURVEY §4 item 1: run_extract(num_partitions=N) salts the
+        kernel input on (conv_id, turn_idx) — the plan must show the
+        turn-grain hash exchange below MapInPandas — and AQE skew-join
+        splitting stays available for the join-heavy operators
+        (evidence: tools/skew_bench.py, BENCH/BASELINE.md round-4
+        section, 0.815 efficiency on the monster-conversation input)."""
+        from pdf2gtfs_spark.plans.pipeline import run_extract
+
+        tdf = spark.createDataFrame(
+            [("c0", i, "x") for i in range(8)],
+            "conv_id string, turn_idx int, text string")
+        plan = _plan(run_extract(tdf, num_partitions=4, emit="csv"))
+        assert "MapInPandas" in plan
+        assert "hashpartitioning(conv_id" in plan
+        assert "turn_idx" in plan.split("hashpartitioning")[1][:80]
+        assert spark.conf.get(
+            "spark.sql.adaptive.skewJoin.enabled") == "true"
+
     def test_shingle_source_single_pass(self, spark):
         """The char-4-gram shingle source is one scan of `documents`
         per use — no self-join to re-fetch `text` — and the jaccard
