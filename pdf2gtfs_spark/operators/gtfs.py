@@ -364,7 +364,7 @@ def service_day_offsets(entries: DataFrame, stop_times: DataFrame,
                           "stop_id"),
         "trip_id", "left")
 
-    def walk(pdf):
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         import pandas as pd
 
         out_ids, out_shifts = [], []

@@ -86,7 +86,7 @@ def _route_dp(route: pd.DataFrame) -> pd.DataFrame:
                                       "frontier_min", "best_node"])
 
 
-def _dp_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+def _dp_kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
     return _route_dp(pdf)
 
 
