@@ -570,6 +570,43 @@ def extract_cells_newpath(spark, sf_dir):
             .orderBy(*keys))
 
 
+# heavily skewed conversations: every 4th conv is 16x longer (up to
+# 64 turns vs a median of ~3) — the monster convs dominate the input
+_SKEW_PARAMS = dict(n_convs=12, base_turns=2, skew_every=4,
+                    skew_factor=16, include_fixtures=False)
+
+
+@register("extract_skewed_salted", oracle=f"""
+SELECT conv_id, turn_idx,
+       md5(expected_csvs) AS csv_md5,
+       CAST(length(expected_csvs) AS BIGINT) AS csv_len
+FROM read_parquet('{aux_path("skewed_expected.parquet")}')
+ORDER BY conv_id, turn_idx
+""")
+def extract_skewed_salted(spark, sf_dir):
+    """Skew handling as a driver-checked invariant (SURVEY §4 item 1):
+    a transcripts table with 16x-skewed conversation lengths runs
+    through the SALTED extract path — run_extract(num_partitions=...)
+    hash-repartitions on (conv_id, turn_idx) so the monster
+    conversations spread across tasks — and the per-turn CSVs must
+    still hash-equal the generator's expectations (salting must not
+    perturb per-turn ordering or content).  Wall-clock evidence for
+    the same claim: tools/skew_bench.py (BENCH/BASELINE.md round 4)."""
+    from pdf2gtfs_spark.plans.pipeline import run_extract, turn_csvs
+    from pdf2gtfs_spark.sources.transcripts import generate_transcripts
+
+    transcripts, expected = generate_transcripts(**_SKEW_PARAMS)
+    write_aux_pandas("skewed_expected.parquet", expected)
+    per_turn = turn_csvs(run_extract(spark.createDataFrame(transcripts),
+                                     num_partitions=16))
+    return (per_turn.select(
+                "conv_id", "turn_idx",
+                F.md5("extracted_csvs").alias("csv_md5"),
+                F.length("extracted_csvs").cast("bigint")
+                .alias("csv_len"))
+            .orderBy("conv_id", "turn_idx"))
+
+
 _ST_PARQUET = aux_path("gtfs_entries.parquet")   # Spark-written dir
 _ST_GLOB = aux_glob("gtfs_entries.parquet")      # DuckDB-side glob
 _ST_TIME_RE = r"^(\d{1,2})\.(\d{1,2})$"

@@ -83,7 +83,7 @@ def main(sf: float, out: str) -> None:
         "o_orderstatus": np.array(["F", "O", "P"])[
             rng.integers(0, 3, n_ord)],
         "o_totalprice": np.round(rng.uniform(800, 500_000, n_ord), 2),
-        "o_orderdate": o_date,
+        "o_orderdate": o_date.astype("datetime64[us]"),
         "o_orderpriority": np.array(
             ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
              "5-LOW"])[rng.integers(0, 5, n_ord)]}))
@@ -104,14 +104,14 @@ def main(sf: float, out: str) -> None:
         "l_returnflag": np.array(["A", "N", "R"])[
             rng.integers(0, 3, n_li)],
         "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": ship}))
+        "l_shipdate": ship.astype("datetime64[us]")}))
 
     ev_ts = (np.datetime64("2024-01-01").astype("datetime64[ns]")
              + np.sort(rng.integers(0, 30 * day_ns, n_ev))
              .astype("timedelta64[ns]"))
     _write(out, "events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
-        "ts": ev_ts,
+        "ts": ev_ts.astype("datetime64[us]"),
         "user_id": pa.array(
             rng.integers(0, max(2, n_ev // 50), n_ev), pa.int64()),
         "event_type": np.array(
