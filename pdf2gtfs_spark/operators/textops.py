@@ -203,6 +203,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # h_k(shingle) = md5int(k || '#' || shingle): engine-portable, no
 # overflow-prone modular arithmetic. Long format (doc_id, k, minhash).
 _MINHASH_K = 6
+# LSH buckets above this size are dropped whole (degenerate/boilerplate
+# clusters; see minhash_lsh_pairs) — large enough that the driver's
+# sf0.01 correctness corpus is unaffected (its max bucket is 141)
+_LSH_BUCKET_CAP = 512
 
 
 @register("minhash_signatures", oracle=f"""
@@ -250,11 +254,16 @@ sigs AS (
   FROM shingles, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
   GROUP BY doc_id, k
 ),
-bands AS (
+bands0 AS (
   SELECT doc_id, k // 2 AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k))
              AS band_key
   FROM sigs GROUP BY doc_id, k // 2
+),
+bands AS (
+  SELECT doc_id, band, band_key FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz
+    FROM bands0) WHERE bsz <= {_LSH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared_bands
@@ -276,6 +285,20 @@ def minhash_lsh_pairs(spark, sf_dir):
                      F.array_sort(F.collect_list(F.struct("k", "minhash"))),
                      lambda s: s["minhash"].cast("string")),
                  ",")).alias("band_key")))
+    # Oversized-bucket cap (sf1 sweep finding, BENCH/BASELINE.md r4):
+    # banding only bounds bucket sizes when signatures are diverse; on
+    # degenerate content (tiny vocabulary, boilerplate) one bucket can
+    # hold O(corpus) docs and the self-join goes quadratic — the gen
+    # sf1 corpus put 18,337 docs in one bucket (261M candidate pairs,
+    # >40 min). A bucket with > cap docs is dropped whole: its members
+    # are near-identical boilerplate, not meaningful near-dup
+    # candidates (same rationale as the jaccard df<=64 cap).
+    keep = (bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("bsz"))
+            .where(F.col("bsz") <= _LSH_BUCKET_CAP)
+            .select("band", "band_key"))
+    bands = bands.join(keep.hint("merge"), ["band", "band_key"],
+                       "left_semi")
     bands = bands.localCheckpoint()
     a = bands.alias("a")
     b = bands.alias("b")

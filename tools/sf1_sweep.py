@@ -51,7 +51,8 @@ def main() -> None:
 
     out: dict[str, dict] = {k: {} for k in DIRS}
     windows: dict[str, dict] = {k: {} for k in DIRS}
-    for name in bench.BENCH_QUERIES:
+    names = sys.argv[1:] or bench.BENCH_QUERIES
+    for name in names:
         fn = QUERIES[name]
         for scale, d in DIRS.items():
             def run(fn=fn, d=d):
