@@ -501,8 +501,14 @@ class TestLegacySurface:
                         "annots": sorted(r0["annotations"]),
                         "route": r0["route_name"],
                         "repeat": r0["kind"] == "repeat",
+                        # multi-interval repeat columns keep
+                        # intervals=None in BOTH engines (the
+                        # reference's intervals setter bails,
+                        # entries.py:76-84; found by sweep seed 20130)
                         "intervals": (list(r0["repeat_intervals"])
-                                      if r0["kind"] == "repeat" else None),
+                                      if r0["kind"] == "repeat"
+                                      and r0["repeat_intervals"]
+                                      is not None else None),
                     })
                 tt = (stops, entries)
             out.append((t.csv_text, tt))
@@ -565,6 +571,43 @@ class TestLegacySurface:
         with pytest.raises(IndexError):
             self._ref_legacy(payload, tmp_path)
         assert self._repo_legacy(payload)      # repo handles it
+
+
+class TestRound4SweepFindings:
+    """Pinned findings from the round-4 950/350-seed offline sweeps
+    (seeds 20000-20999)."""
+
+    def test_multi_interval_repeat_keeps_none(self, tmp_path):
+        """Seed 20130 (legacy surface): a repeat column with multiple
+        DISTINCT intervals stays a repeat entry with intervals=None in
+        both engines (the reference's intervals setter warns and
+        bails, entries.py:76-84).  Previously the harness itself
+        crashed converting it."""
+        import random
+
+        from test_newpath import _payload
+        rng = random.Random(20130)
+        payload = _payload(TestAdversarialLayouts._layout(rng))
+        TestLegacySurface()._assert_legacy_equivalent(
+            payload, tmp_path, "legacy_adv20130")
+
+    @pytest.mark.parametrize("seed", [20338, 20565])
+    def test_reference_crashes_on_repeat_head_mismatch(self, seed):
+        """Documented divergence (new family): the reference NEW-path
+        engine crashes in insert_repeat_cells -> Table.insert
+        (table.py:191 zip(strict=True)) when the repeat column's head
+        length mismatches the relative cells; the repo extracts the
+        tables.  2/950 round-4 sweep layouts hit this."""
+        import random
+
+        from test_newpath import _payload
+        rng = random.Random(seed)
+        fields = payload_fields(_payload(
+            TestAdversarialLayouts._layout(rng)))
+        with pytest.raises(ValueError, match="zip"):
+            run_reference(fields)
+        tables = tables_from_fields(fields, NEW_CFG)
+        assert tables            # repo handles the layout
 
 
 class TestSeededRandomLayouts:
