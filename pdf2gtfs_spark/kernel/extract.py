@@ -1087,6 +1087,59 @@ def extract_turn(payload: str,
     return result
 
 
+def _merge_mutated_fields(a: _TableAnalysis, m: _Matchers) -> _Fields:
+    """Reference quirk (container.py:336-353 via pdftable.py:74-94):
+    when overlapping single-field columns merge, same-row fields merge
+    IN PLACE on the Field objects — the left field's text grows
+    ('ab' + ' ' + '6.16') and the absorbed field STAYS in its row with
+    a ' '-prefixed text.  split_at_stop_columns then re-types the
+    split rows against these mutated texts (pdftable.py:138-148), so
+    a space-prefixed time no longer strptime-matches and such a row
+    decays to OTHER, falling out of both the columns and the CSV.
+    Found by the round-4 350-seed legacy sweep (seed 20546).  Returns
+    a mutated COPY of the parent's fields for the split path only —
+    unsplit tables keep their pre-merge row types, like the reference,
+    whose update_type only reruns inside _split_at."""
+    tf = a.tfields
+    body_lines = {lid for lid, t in zip(a.line_order, a.rtypes)
+                  if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)}
+    body_idx = np.flatnonzero(np.isin(tf.line_id, list(body_lines)))
+    if len(body_idx) == 0:
+        return tf
+    text = tf.text.copy()
+    x1 = tf.x1.copy()
+    y0 = tf.y0.copy()
+    y1 = tf.y1.copy()
+    ftype = tf.ftype.copy()
+    order = body_idx[np.lexsort((tf.y0[body_idx], tf.x0[body_idx]))]
+    bx0 = tf.x0[order]
+    runmax = np.maximum.accumulate(tf.x1[order])
+    new_col = np.empty(len(order), dtype=bool)
+    new_col[0] = True
+    new_col[1:] = runmax[:-1] <= bx0[1:]
+    col_id = np.cumsum(new_col) - 1
+    key = col_id * (int(tf.line_id.max()) + 1) + tf.line_id[order]
+    uniq, counts = np.unique(key, return_counts=True)
+    if not (counts > 1).any():
+        return tf
+    for k in uniq[counts > 1]:
+        grp = order[np.flatnonzero(key == k)]
+        grp = grp[np.argsort(tf.x0[grp], kind="stable")]
+        lead = grp[0]
+        cx1 = x1[lead]
+        for j in grp[1:]:
+            sep = " " if (tf.x0[j] - cx1) != 0 else ""
+            text[lead] = text[lead] + sep + text[j]
+            text[j] = sep + text[j]
+            cx1 = max(cx1, x1[j])
+        x1[lead] = cx1
+        y0[lead] = y0[grp].min()
+        y1[lead] = y1[grp].max()
+        ftype[grp] = m.field_types_list(list(text[grp]))
+    return _Fields(text, tf.x0.copy(), y0, x1, y1,
+                   tf.line_id.copy(), ftype)
+
+
 def _split_multi_stop_columns(a: _TableAnalysis,
                               m: _Matchers) -> list[_TableAnalysis]:
     """Split a table with several STOP columns into one table per stop
@@ -1101,11 +1154,12 @@ def _split_multi_stop_columns(a: _TableAnalysis,
     col_x0 = {cid: float(a.cells.x0[s:e].min())
               for cid, s, e in zip(col_ids, starts, ends)}
     boundaries = sorted(col_x0[c] for c in stop_cols)[1:]
-    bucket = np.searchsorted(np.asarray(boundaries), a.tfields.x0,
+    tf_m = _merge_mutated_fields(a, m)
+    bucket = np.searchsorted(np.asarray(boundaries), tf_m.x0,
                              side="right")
     out = []
     for b in range(len(stop_cols)):
-        part = a.tfields.take(bucket == b)
+        part = tf_m.take(bucket == b)
         if len(part) == 0:
             continue
         part_lines = set(part.line_id.tolist())

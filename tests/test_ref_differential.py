@@ -591,6 +591,22 @@ class TestRound4SweepFindings:
         TestLegacySurface()._assert_legacy_equivalent(
             payload, tmp_path, "legacy_adv20130")
 
+    def test_column_merge_mutation_decays_row(self, tmp_path):
+        """Seed 20546 (legacy surface): when overlapping columns merge
+        same-row fields, the reference mutates the Field objects in
+        place — the absorbed field stays in its row with a
+        space-prefixed text, and after split_at_stop_columns the
+        re-typed row decays to OTHER (a ' 6.16' no longer
+        strptime-matches) and falls out of the CSV.  Mirrored by
+        kernel/extract.py::_merge_mutated_fields."""
+        import random
+
+        from test_newpath import _payload
+        rng = random.Random(20546)
+        payload = _payload(TestAdversarialLayouts._layout(rng))
+        TestLegacySurface()._assert_legacy_equivalent(
+            payload, tmp_path, "legacy_adv20546")
+
     @pytest.mark.parametrize("seed", [20338, 20565])
     def test_reference_crashes_on_repeat_head_mismatch(self, seed):
         """Documented divergence (new family): the reference NEW-path
