@@ -607,20 +607,23 @@ class TestRound4SweepFindings:
         TestLegacySurface()._assert_legacy_equivalent(
             payload, tmp_path, "legacy_adv20546")
 
-    @pytest.mark.parametrize("seed", [20338, 20565])
-    def test_reference_crashes_on_repeat_head_mismatch(self, seed):
+    @pytest.mark.parametrize("seed,exc", [(20338, ValueError),
+                                          (20565, ValueError),
+                                          (21526, AssertionError)])
+    def test_reference_crashes_on_repeat_head_mismatch(self, seed, exc):
         """Documented divergence (new family): the reference NEW-path
-        engine crashes in insert_repeat_cells -> Table.insert
-        (table.py:191 zip(strict=True)) when the repeat column's head
-        length mismatches the relative cells; the repo extracts the
-        tables.  2/950 round-4 sweep layouts hit this."""
+        engine crashes in insert_repeat_cells -> Table.insert when the
+        repeat column's head mismatches the relative cells — either
+        the zip(strict=True) at table.py:191 or the neighbor assert at
+        table.py:183; the repo extracts the tables.  3/1950 round-4
+        sweep layouts hit this."""
         import random
 
         from test_newpath import _payload
         rng = random.Random(seed)
         fields = payload_fields(_payload(
             TestAdversarialLayouts._layout(rng)))
-        with pytest.raises(ValueError, match="zip"):
+        with pytest.raises(exc):
             run_reference(fields)
         tables = tables_from_fields(fields, NEW_CFG)
         assert tables            # repo handles the layout
