@@ -13,6 +13,28 @@ the aggregation operator, so the two paths cannot drift.
 
 from __future__ import annotations
 
+TRANSCRIPT_DDL = ("conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+
+
+def stream_turn_rate(spark, inp: str, out: str, ckpt: str,
+                     window: str = "10 minutes",
+                     watermark: str = "5 minutes") -> None:
+    """Incremental windowed aggregation over a growing transcript
+    directory: Trigger.AvailableNow drains whatever files exist, the
+    checkpoint carries the watermark + window state across runs, and
+    the append-mode parquet sink receives each finalized window
+    exactly once."""
+    stream = (spark.readStream.schema(TRANSCRIPT_DDL).parquet(inp))
+    q = (turn_rate_windows(stream, window, watermark)
+         .writeStream.outputMode("append")
+         .format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
 
 def turn_rate_windows(turns, window: str = "10 minutes",
                       watermark: str = "5 minutes"):

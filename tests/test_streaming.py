@@ -91,3 +91,64 @@ class TestStatefulReassembly:
         for cid, b in batch.items():
             assert docs[cid]["conversation_doc"] == b["conversation_doc"]
             assert docs[cid]["n_turns"] == b["n_turns"]
+
+
+class TestWindowedWatermark:
+    def test_late_rows_dropped_after_watermark(self, spark, tmp_path):
+        """Watermarked tumbling-window agg (brief §streaming): append
+        mode emits a window exactly once after the watermark passes
+        its end, and rows later than the watermark delay are dropped
+        by the state store instead of mutating the emitted window."""
+        from datetime import datetime
+
+        import pandas as pd
+
+        from pdf2gtfs_spark.streaming.windowed import (
+            TRANSCRIPT_DDL, stream_turn_rate, turn_rate_windows,
+        )
+
+        inp = str(tmp_path / "in")
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+
+        def rows(specs):
+            return pd.DataFrame(
+                [(c, i, "user", t_txt, "",
+                  datetime(2024, 1, 1, hh, mm)) for
+                 (c, i, t_txt, hh, mm) in specs],
+                columns=["conv_id", "turn_idx", "role", "text",
+                         "tool", "ts"])
+
+        # batch 1: two on-time turns for c0 and one for c1 inside
+        # [09:00, 09:10), plus a 10:06 row that pushes the watermark
+        # to 10:01 (> window end) once the batch commits
+        b1 = rows([("c0", 0, "aaaa", 9, 1), ("c0", 1, "bb", 9, 5),
+                   ("c1", 0, "ccc", 9, 2), ("cx", 0, "d", 10, 6)])
+        spark.createDataFrame(b1, TRANSCRIPT_DDL).write.mode(
+            "append").parquet(inp)
+        stream_turn_rate(spark, inp, out, ckpt)
+
+        # batch 2: a LATE row for c0 at 09:03 (watermark already
+        # 10:01) plus a fresh row to keep the stream moving
+        b2 = rows([("c0", 2, "LATE", 9, 3), ("cy", 0, "e", 10, 20)])
+        spark.createDataFrame(b2, TRANSCRIPT_DDL).write.mode(
+            "append").parquet(inp)
+        stream_turn_rate(spark, inp, out, ckpt)
+
+        got = spark.read.parquet(out).toPandas()
+        w9 = got[got["window_start"] == datetime(2024, 1, 1, 9, 0)]
+        c0 = w9[w9["conv_id"] == "c0"]
+        # emitted exactly once, WITHOUT the late row
+        assert len(c0) == 1
+        assert int(c0["n_turns"].iloc[0]) == 2
+        assert int(c0["n_chars"].iloc[0]) == 6          # aaaa + bb
+        assert int(w9[w9["conv_id"] == "c1"]["n_turns"].iloc[0]) == 1
+
+        # batch semantics twin: the same plan over a static read gives
+        # the full (no-watermark) aggregation including the late row
+        batch = turn_rate_windows(
+            spark.read.parquet(inp)).toPandas()
+        bc0 = batch[(batch["conv_id"] == "c0")
+                    & (batch["window_start"]
+                       == datetime(2024, 1, 1, 9, 0))]
+        assert int(bc0["n_turns"].iloc[0]) == 3          # late row in
