@@ -15,10 +15,26 @@ max-bucket filter, mirroring what MinHashLSH implementations do.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf2gtfs_spark.operators import register
+
+# Candidate-pruning caps (no-silent-caps convention, VERDICT r4 #3):
+# env-overridable so a production run tunes them per corpus, and the
+# registered `dedup_cap_metrics` query reports exactly what they drop
+# (groups + rows), so truncation is visible in driver artifacts.
+# - JACCARD_DF_CAP: shingles appearing in more than this many docs are
+#   excluded from the inverted-index join (hot-key blowup bound).
+# - LSH_BUCKET_CAP: LSH band buckets holding more than this many docs
+#   are dropped whole (degenerate/boilerplate clusters; sf1 sweep
+#   found one 18,337-doc bucket -> 261M candidate pairs).
+# Oracle SQL strings interpolate these at import, so an env override
+# applies consistently to both engines.
+JACCARD_DF_CAP = int(os.environ.get("SPARK_GRAFT_JACCARD_DF_CAP", "64"))
+LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "512"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -128,7 +144,8 @@ FROM (SELECT doc_id, text,
 
 # --- n-gram Jaccard near-dup via inverted-index join -------------------------
 # Scale: self-join on shingle (inverted index), NOT doc x doc. Hot
-# shingles capped at 64 docs (df cap) to bound the pair blowup —
+# shingles in more than JACCARD_DF_CAP docs excluded to bound the
+# pair blowup —
 # standard candidate-pruning; exact jaccard then computed per pair.
 @register("dedup_ngram_jaccard", oracle=f"""
 WITH shingles AS ({_SHINGLES_SQL}),
@@ -137,7 +154,7 @@ capped AS (
   SELECT shingle, doc_id FROM (
     SELECT shingle, doc_id,
            count(*) OVER (PARTITION BY shingle) AS df
-    FROM shingles) WHERE df <= 64
+    FROM shingles) WHERE df <= {JACCARD_DF_CAP}
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -169,7 +186,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # joins back as a plain equi join (same df<=64 semantics as the
     # oracle's window formulation)
     rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
-            .where("df <= 64").select("shingle"))
+            .where(F.col("df") <= JACCARD_DF_CAP).select("shingle"))
     # Pin the inverted-index joins to shuffle joins: the single-scan
     # shingle source makes Catalyst's size estimate small enough to
     # BROADCAST the exploded shingle stream (docs x ~2k rows) — slow
@@ -203,10 +220,6 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # h_k(shingle) = md5int(k || '#' || shingle): engine-portable, no
 # overflow-prone modular arithmetic. Long format (doc_id, k, minhash).
 _MINHASH_K = 6
-# LSH buckets above this size are dropped whole (degenerate/boilerplate
-# clusters; see minhash_lsh_pairs) — large enough that the driver's
-# sf0.01 correctness corpus is unaffected (its max bucket is 141)
-_LSH_BUCKET_CAP = 512
 
 
 @register("minhash_signatures", oracle=f"""
@@ -231,7 +244,10 @@ def minhash_signatures(spark, sf_dir):
     # pipelined row-by-row inside WholeStageCodegen in the *map* stage
     # (never materialized, never shuffled) and the partial aggregate
     # reduces each split to <= K rows/doc before the exchange.
-    d = _t(spark, sf_dir, "documents")
+    return _minhash_sigs(spark, _t(spark, sf_dir, "documents"))
+
+
+def _minhash_sigs(spark, d: DataFrame) -> DataFrame:
     sh = _shingles_spark(d)
     ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
     hashed = sh.crossJoin(F.broadcast(ks)).select(
@@ -241,6 +257,18 @@ def minhash_signatures(spark, sf_dir):
     return (hashed.groupBy("doc_id", "k")
             .agg(F.min("h").alias("minhash"))
             .orderBy("doc_id", "k"))
+
+
+def _bands_spark(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from long-format minhash signatures —
+    bands of 2 rows, band_key = md5 of the k-ordered minhash pair."""
+    return (sigs.withColumn("band", (F.col("k") / 2).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "minhash"))),
+                    lambda s: s["minhash"].cast("string")),
+                ",")).alias("band_key")))
 
 
 # --- MinHash-LSH candidate pairs (bands of 2 rows) ---------------------------
@@ -263,7 +291,7 @@ bands0 AS (
 bands AS (
   SELECT doc_id, band, band_key FROM (
     SELECT *, count(*) OVER (PARTITION BY band, band_key) AS bsz
-    FROM bands0) WHERE bsz <= {_LSH_BUCKET_CAP}
+    FROM bands0) WHERE bsz <= {LSH_BUCKET_CAP}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared_bands
@@ -278,13 +306,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     # lineage is the whole shingle->signature pipeline; without
     # truncation the self-join below evaluates that pipeline for both
     # sides (4 parquet scans in the plan, no guaranteed exchange reuse)
-    bands = (sigs.withColumn("band", (F.col("k") / 2).cast("int"))
-             .groupBy("doc_id", "band")
-             .agg(F.md5(F.array_join(
-                 F.transform(
-                     F.array_sort(F.collect_list(F.struct("k", "minhash"))),
-                     lambda s: s["minhash"].cast("string")),
-                 ",")).alias("band_key")))
+    bands = _bands_spark(sigs)
     # Oversized-bucket cap (sf1 sweep finding, BENCH/BASELINE.md r4):
     # banding only bounds bucket sizes when signatures are diverse; on
     # degenerate content (tiny vocabulary, boilerplate) one bucket can
@@ -295,7 +317,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     # candidates (same rationale as the jaccard df<=64 cap).
     keep = (bands.groupBy("band", "band_key")
             .agg(F.count("*").alias("bsz"))
-            .where(F.col("bsz") <= _LSH_BUCKET_CAP)
+            .where(F.col("bsz") <= LSH_BUCKET_CAP)
             .select("band", "band_key"))
     bands = bands.join(keep.hint("merge"), ["band", "band_key"],
                        "left_semi")
@@ -309,6 +331,80 @@ def minhash_lsh_pairs(spark, sf_dir):
                      F.col("b.doc_id").alias("doc_b"))
             .agg(F.count("*").alias("n_shared_bands"))
             .orderBy("doc_a", "doc_b"))
+
+
+# --- cap observability: what the candidate-pruning caps drop -----------------
+@register("dedup_cap_metrics", oracle=f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+jd AS (
+  SELECT count(*) AS n_dropped_groups,
+         CAST(coalesce(sum(df), 0) AS BIGINT) AS n_dropped_rows
+  FROM (SELECT shingle, count(*) AS df FROM shingles GROUP BY 1)
+  WHERE df > {JACCARD_DF_CAP}
+),
+sigs AS (
+  SELECT doc_id, k,
+         min({_md5int_sql("concat(CAST(k AS VARCHAR), '#', shingle)")})
+             AS minhash
+  FROM shingles, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
+  GROUP BY doc_id, k
+),
+bands0 AS (
+  SELECT doc_id, k // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k))
+             AS band_key
+  FROM sigs GROUP BY doc_id, k // 2
+),
+ld AS (
+  SELECT count(*) AS n_dropped_groups,
+         CAST(coalesce(sum(bsz), 0) AS BIGINT) AS n_dropped_rows
+  FROM (SELECT band, band_key, count(*) AS bsz
+        FROM bands0 GROUP BY 1, 2)
+  WHERE bsz > {LSH_BUCKET_CAP}
+)
+SELECT 'jaccard_df' AS cap, CAST({JACCARD_DF_CAP} AS BIGINT) AS threshold,
+       n_dropped_groups, n_dropped_rows FROM jd
+UNION ALL
+SELECT 'lsh_bucket', CAST({LSH_BUCKET_CAP} AS BIGINT),
+       n_dropped_groups, n_dropped_rows FROM ld
+ORDER BY cap
+""")
+def dedup_cap_metrics(spark, sf_dir):
+    """Drop report for JACCARD_DF_CAP and LSH_BUCKET_CAP (no-silent-
+    caps convention): one row per cap with how many groups (hot
+    shingles / oversized buckets) and rows (shingle occurrences /
+    doc-band memberships) the cap excludes from the dedup joins. A
+    100 TB run reads this next to dedup_ngram_jaccard /
+    minhash_lsh_pairs output to see exactly what was truncated."""
+    return cap_drop_metrics(spark, _t(spark, sf_dir, "documents"))
+
+
+def cap_drop_metrics(spark, d: DataFrame,
+                     jaccard_cap: int | None = None,
+                     lsh_cap: int | None = None) -> DataFrame:
+    """Parameterized core of dedup_cap_metrics (caps overridable so
+    tests can force drops on a small degenerate corpus)."""
+    jaccard_cap = JACCARD_DF_CAP if jaccard_cap is None else jaccard_cap
+    lsh_cap = LSH_BUCKET_CAP if lsh_cap is None else lsh_cap
+    zero = F.lit(0).cast("bigint")
+    sh = _shingles_spark(d)
+    jd = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+          .where(F.col("df") > jaccard_cap)
+          .agg(F.count("*").alias("n_dropped_groups"),
+               F.coalesce(F.sum("df"), zero).alias("n_dropped_rows")))
+    ld = (_bands_spark(_minhash_sigs(spark, d))
+          .groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
+          .where(F.col("bsz") > lsh_cap)
+          .agg(F.count("*").alias("n_dropped_groups"),
+               F.coalesce(F.sum("bsz"), zero).alias("n_dropped_rows")))
+    jrow = jd.select(F.lit("jaccard_df").alias("cap"),
+                     F.lit(jaccard_cap).cast("bigint").alias("threshold"),
+                     "n_dropped_groups", "n_dropped_rows")
+    lrow = ld.select(F.lit("lsh_bucket").alias("cap"),
+                     F.lit(lsh_cap).cast("bigint").alias("threshold"),
+                     "n_dropped_groups", "n_dropped_rows")
+    return jrow.unionAll(lrow).orderBy("cap")
+
 
 
 # --- SimHash fingerprints (60-bit, token multiset) ---------------------------
@@ -737,7 +833,7 @@ sizes AS (SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY 1),
 capped AS (
   SELECT shingle, doc_id FROM (
     SELECT shingle, doc_id, count(*) OVER (PARTITION BY shingle) AS df
-    FROM shingles) WHERE df <= 64
+    FROM shingles) WHERE df <= {JACCARD_DF_CAP}
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
