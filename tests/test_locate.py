@@ -92,3 +92,24 @@ class TestInterpolation:
         # <2 valid nodes: untouched
         assert out[(1, 0)] == (None, None)
         assert out[(1, 2)] == (None, None)
+
+
+class TestRouteSearchInvariants:
+    def test_all_invariants_hold(self, spark):
+        """Heap-interior invariants (VERDICT r4 ask #5): the oracle
+        hash match only pins cross-engine consistency; this asserts
+        the flags are actually TRUE — chain completeness, cost
+        monotonicity, candidate membership, missing-node shape, start
+        cost and per-step cost accounting."""
+        from pdf2gtfs_spark.operators.locate_route import (
+            locate_route_invariants_query)
+
+        rows = locate_route_invariants_query(
+            spark, "/root/testdata/sf0.001").collect()
+        assert len(rows) == 2
+        flags = ["chain_complete", "stop_ids_match", "cost_monotone",
+                 "found_in_candidates", "missing_well_formed",
+                 "start_cost_ok", "cost_steps_ok"]
+        for r in rows:
+            for f in flags:
+                assert r[f] is True, (r["route_id"], f)
