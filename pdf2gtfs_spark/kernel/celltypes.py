@@ -103,6 +103,13 @@ class TypeMatchers:
 
     def __init__(self, cfg: ExtractConfig = DEFAULT_CONFIG) -> None:
         self.cfg = cfg
+        # per-text memo for guess_list: the guess row is a pure
+        # function of (config, text) and real timetables repeat texts
+        # heavily (day headers, annotations, times recur across
+        # tables/pages), so each distinct text pays the regex/set
+        # probes once per matcher. Bounded to keep a long-lived
+        # executor process from growing without limit.
+        self._guess_memo: dict = {}
         self.time_re, self.time_order = time_format_to_regex(cfg.time_format)
         self.header_keys = frozenset(k.lower() for k in cfg.header_values)
         self.negative_header = frozenset(
@@ -129,41 +136,71 @@ class TypeMatchers:
         hundreds of cells per turn seen here.
         """
         n = len(texts)
-        P = np.full((n, N_TYPES), np.nan)
+        P = np.empty((n, N_TYPES))
         fb = np.zeros(n, dtype=bool)
+        memo = self._guess_memo
+        for i, t in enumerate(texts):
+            hit = memo.get(t)
+            if hit is None:
+                hit = self._guess_one(t)
+                if len(memo) < 200_000:
+                    memo[t] = hit
+            P[i] = hit[0]           # copy into this store's backing
+            fb[i] = hit[1]
+        return P, fb
+
+    def _guess_one(self, t: str) -> tuple[np.ndarray, bool]:
+        row = np.full(N_TYPES, np.nan)
         fb_p = round(1 / 9, 3)
         fb_other = round(2 / 9, 3)
-        for i, t in enumerate(texts):
-            tl = t.lower()
-            fired = []
-            if is_time_str(t, self.time_re, self.time_order):
-                fired.append(TIME)
-            if tl in self.header_keys:
-                fired.append(DAYS)
-            if tl in self.repeat_idents:
-                fired.append(REPEAT_IDENT)
-            if tl in self.stop_annots:
-                fired.append(STOP_ANNOT)
-            if tl in self.route_idents:
-                fired.append(ROUTE_ANNOT_IDENT)
-            if tl in self.annot_idents:
-                fired.append(ENTRY_ANNOT_IDENT)
-            if _LEGEND_RE.match(t):
-                fired.append(LEGEND_IDENT)
-            if fired:
-                div = len(fired) + 0.5
-                for ty in fired:
-                    P[i, ty] = round(1 / div, 3)
-                P[i, OTHER] = round(0.5 / div, 3)
-            else:
-                fb[i] = True
-                for ty in FALLBACK_ORDER:
-                    P[i, ty] = fb_p
-                P[i, OTHER] = fb_other
-        return P, fb
+        tl = t.lower()
+        fired = []
+        if is_time_str(t, self.time_re, self.time_order):
+            fired.append(TIME)
+        if tl in self.header_keys:
+            fired.append(DAYS)
+        if tl in self.repeat_idents:
+            fired.append(REPEAT_IDENT)
+        if tl in self.stop_annots:
+            fired.append(STOP_ANNOT)
+        if tl in self.route_idents:
+            fired.append(ROUTE_ANNOT_IDENT)
+        if tl in self.annot_idents:
+            fired.append(ENTRY_ANNOT_IDENT)
+        if _LEGEND_RE.match(t):
+            fired.append(LEGEND_IDENT)
+        if fired:
+            div = len(fired) + 0.5
+            for ty in fired:
+                row[ty] = round(1 / div, 3)
+            row[OTHER] = round(0.5 / div, 3)
+            return row, False
+        for ty in FALLBACK_ORDER:
+            row[ty] = fb_p
+        row[OTHER] = fb_other
+        return row, True
 
     def guess(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         return self.guess_list(list(texts))
+
+
+_MATCHERS_CACHE: dict = {}
+
+
+def matchers_for(cfg: ExtractConfig) -> TypeMatchers:
+    """Shared TypeMatchers per config VALUE: regex compilation, the
+    frozenset builds, and — far more importantly — the per-text guess
+    memo survive across turns instead of restarting every
+    CellStore.from_fields call."""
+    key = repr((cfg.time_format, cfg.header_values,
+                cfg.negative_header_values, cfg.repeat_identifier,
+                cfg.arrival_identifier, cfg.departure_identifier,
+                cfg.route_identifier, cfg.annot_identifier))
+    m = _MATCHERS_CACHE.get(key)
+    if m is None:
+        m = TypeMatchers(cfg)
+        _MATCHERS_CACHE[key] = m
+    return m
 
 
 def strict_guess(P: np.ndarray, fallback: np.ndarray) -> np.ndarray:

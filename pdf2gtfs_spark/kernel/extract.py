@@ -1059,7 +1059,8 @@ def extract_turn(payload: str,
 
         for table_id, tt in enumerate(
                 tables_from_fields(fields.to_frame(), cfg)):
-            result.tables.append(tt.to_result(table_id, cfg))
+            result.tables.append(tt.to_result(table_id, cfg,
+                                              light=light))
         return result
     m = _matchers(cfg)
     fields.ftype = np.array(m.field_types_list(fields.text.tolist()),

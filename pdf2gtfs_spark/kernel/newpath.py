@@ -47,6 +47,16 @@ _STEP = {N: (-1, 0), S: (1, 0), W: (0, -1), E: (0, 1)}
 
 
 @functools.lru_cache(maxsize=65536)
+def _letter_count(text: str) -> int:
+    return sum(ch.isalpha() or ch == " " for ch in text)
+
+
+# lowered header/negative-header sets per config object (keyed by id;
+# configs are frozen dataclasses that live for the whole kernel batch)
+_HEADER_CACHE: dict = {}
+
+
+@functools.lru_cache(maxsize=65536)
 def _part_of_days_cached(days_str: str, text: str) -> Optional[tuple]:
     words = days_str.split()
     n = len(words)
@@ -142,11 +152,25 @@ class Typer:
         self.memb = ~np.isnan(Pm)[idx]
         lens = np.fromiter((len(t) for t in s.text),
                            count=n, dtype=np.int32)
-        lets = np.fromiter(
-            (sum(ch.isalpha() or ch == " " for ch in t) for t in s.text),
-            count=n, dtype=np.int32)
+        # letter counting is a per-char Python scan; texts repeat
+        # heavily across cells/turns (headers, day names, shared
+        # payload mix), so memoize module-wide instead of rescanning
+        # every refresh
+        lets = np.fromiter((_letter_count(t) for t in s.text),
+                           count=n, dtype=np.int32)
         self._len = lens[idx]
         self._let = lets[idx]
+        # Python-list mirrors of the per-cell arrays read in the
+        # sweep's per-cell hot path (infer_cell and the REL helpers'
+        # scalar probes).  numpy scalar indexing costs ~5x a list
+        # access; the sweep touches each cell O(types x dirs) times, so
+        # the mirrors cut ~25% off the whole kernel (measured, r5).
+        # The numpy originals stay authoritative for every vectorized
+        # path; _set_strict keeps the strict mirror in sync.
+        self._P_py = Pm.tolist()                # store-level rows
+        self._strict_l = self.strict.tolist()   # (R, C)
+        self._memb_l = self.memb.tolist()       # (R, C, N_TYPES)
+        self._fne_l = self._fne.tolist()        # (R, C, 4)
         # series-level results depend only on static state + which
         # rows/cols contain a strict Time cell; they are cached until a
         # sweep assignment flips Time membership anywhere (_ver bump)
@@ -154,10 +178,11 @@ class Typer:
         self._cache: dict = {}
 
     def _set_strict(self, r: int, c: int, t: int) -> None:
-        old = self.strict[r, c]
+        old = self._strict_l[r][c]
         if old == t:
             return
         self.strict[r, c] = t
+        self._strict_l[r][c] = t
         self._rc[r, old] -= 1
         self._rc[r, t] += 1
         self._cc[c, old] -= 1
@@ -168,7 +193,7 @@ class Typer:
     # -- primitive queries -------------------------------------------------
 
     def member(self, r: int, c: int, t: int) -> bool:
-        return bool(self.memb[r, c, t])
+        return self._memb_l[r][c][t]
 
     def direct(self, r: int, c: int, d: int) -> Optional[tuple]:
         dr, dc = _STEP[d]
@@ -178,7 +203,7 @@ class Typer:
         return None
 
     def first_nonempty(self, r: int, c: int, d: int) -> Optional[tuple]:
-        k = self._fne[r, c, d]
+        k = self._fne_l[r][c][d]
         if k < 0:
             return None
         return (k, c) if d in (N, S) else (r, k)
@@ -197,7 +222,7 @@ class Typer:
         for d in dirs:
             pos = (self.direct(r, c, d) if direct
                    else self.first_nonempty(r, c, d))
-            if pos is not None and self.strict[pos] == t:
+            if pos is not None and self._strict_l[pos[0]][pos[1]] == t:
                 return True
         return False
 
@@ -205,10 +230,11 @@ class Typer:
         """cell_is_between_type (celltype.py:372-392): DIRECT neighbors
         on either axis both strictly of type t (the docstring claims
         empties are skipped; the code passes allow_empty=True)."""
+        sl = self._strict_l
         for d_lo, d_hi in ((N, S), (W, E)):
             lo, hi = self.direct(r, c, d_lo), self.direct(r, c, d_hi)
-            if (lo is not None and self.strict[lo] == t
-                    and hi is not None and self.strict[hi] == t):
+            if (lo is not None and sl[lo[0]][lo[1]] == t
+                    and hi is not None and sl[hi[0]][hi[1]] == t):
                 return True
         return False
 
@@ -382,7 +408,8 @@ class Typer:
         sizes = []
         for d in _DIRS:
             pos = self.first_nonempty(r, c, d)
-            if pos is not None and self.strict[pos] == TIME:
+            if pos is not None \
+                    and self._strict_l[pos[0]][pos[1]] == TIME:
                 sizes.append(self.s.fontsize[self.g.cells[pos[0]][pos[1]]])
         if not sizes:
             return 0.0
@@ -438,14 +465,26 @@ class Typer:
     def rel_days(self, r: int, c: int) -> float:
         cfg = self.s.cfg
         text = self.s.text[self.g.cells[r][c]].lower()
-        if text in {v.lower() for v in cfg.negative_header_values}:
+        # lowered header/negative sets are pure in the header config —
+        # cache them (rebuilding per probed cell dominated rel_days);
+        # keyed by value, so id() reuse after GC cannot alias configs
+        key = (tuple(cfg.header_values),
+               tuple(cfg.negative_header_values))
+        cached = _HEADER_CACHE.get(key)
+        if cached is None:
+            lowered = [k.lower() for k in cfg.header_values]
+            cached = ({v.lower() for v in cfg.negative_header_values},
+                      lowered,
+                      [(h, " ".join(h.split())) for h in lowered])
+            _HEADER_CACHE[key] = cached
+        negatives, headers, header_pairs = cached
+        if text in negatives:
             return 0.0
-        headers = [k.lower() for k in cfg.header_values]
         if text in headers:
             return 10.0
         candidates = []
-        for days in headers:
-            idx = self._part_of_days(days.split(), text)
+        for days, days_norm in header_pairs:
+            idx = _part_of_days_cached(days_norm, text)
             if idx is not None:
                 candidates.append((days, idx[0], idx[1]))
         if not candidates:
@@ -503,10 +542,12 @@ class Typer:
         if s.is_empty[i]:
             return
         order = (ct.FALLBACK_ORDER if s.fallback[i] else ct.ABS_ORDER)
+        row = self._P_py[i]         # python floats; see refresh()
         best_t, best_v = None, -math.inf
+        isnan = math.isnan
         for t in order:
-            p = s.P[i][t]
-            if math.isnan(p):
+            p = row[t]
+            if isnan(p):
                 continue
             if t == OTHER:
                 mult = 0.1
@@ -832,9 +873,18 @@ class TypedTable:
                 })
         return rows, stops_records
 
-    def to_result(self, table_id: int,
-                  cfg: ExtractConfig) -> TableResult:
+    def to_result(self, table_id: int, cfg: ExtractConfig,
+                  light: bool = False) -> TableResult:
         g, s, ty = self.grid, self.grid.store, self.typer
+        if light:
+            # text-surface-only callers (emit="csv", the throughput
+            # headline) skip the per-cell/entry/stop record build —
+            # same contract as the legacy path's light mode
+            # (extract.py::_process_table)
+            return TableResult(
+                csv_text=self.to_csv(), row_types=[], col_types=[],
+                cells_records=[], entries_records=[],
+                stops_records=[])
         entries_records, stops_records = self.to_timetable(table_id, cfg)
         # ty.bbox_arr already holds every cell bbox (EmptyCells get the
         # col-x/row-y stripe union); geometry-mutating cleanup steps

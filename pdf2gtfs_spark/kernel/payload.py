@@ -91,9 +91,19 @@ def decode_payload_arrays(payload: str) -> tuple[PageBox, dict]:
         coords = arr[:, :4].astype(np.float64)  # C-loop float parse
     except ValueError as e:
         raise MalformedPayload(str(e)) from e
-    text = np.array(
-        [_fix_cid_text(t) if len(t) > 1 else t for t in arr[:, 4]],
-        dtype=object)
+    # the repair is the identity on single-char texts (the common
+    # case: these are per-char records); one cheap scan decides
+    # whether the per-text repair pass runs at all.  NOTE: for
+    # multi-char texts the reference applies chr(int(text[5:-1]))
+    # regardless of a '(cid:' prefix (reader.py:84-95) — mirrored
+    # bug-for-bug, so the skip must key on length only.
+    raw = arr[:, 4].tolist()
+    if any(len(t) > 1 for t in raw):
+        text = np.array(
+            [_fix_cid_text(t) if len(t) > 1 else t for t in raw],
+            dtype=object)
+    else:
+        text = arr[:, 4]
     return page, {
         "x0": coords[:, 0], "y0": coords[:, 1],
         "x1": coords[:, 2], "y1": coords[:, 3],

@@ -63,6 +63,11 @@ def _is_olap(a0, a1, b0, b1, rel: float) -> bool:
     return d >= rel * (sa if sa < sb else sb)
 
 
+# P row for an EmptyCell (copied per cell; rows are mutated in place)
+_EMPTY_P = np.full(N_TYPES, np.nan)
+_EMPTY_P[EMPTY] = 1.0
+
+
 @dataclass
 class CellStore:
     """Columnar storage for every cell of one turn (incl. EmptyCells)."""
@@ -79,19 +84,41 @@ class CellStore:
     P: list = field(default_factory=list)
     fallback: list = field(default_factory=list)
     inferred: list = field(default_factory=list)   # int | None
+    # coord-array cache (see coord_arrays); every coordinate mutator
+    # bumps _coord_ver
+    _coord_ver: int = 0
+    _coord_cache: Optional[tuple] = None
+
+    def coord_arrays(self) -> tuple:
+        """(x0, y0, x1, y1, is_empty) as numpy arrays over the whole
+        store, cached until a mutator bumps _coord_ver — the expand
+        fixpoint's stripe/bounds probes re-read these every step."""
+        cache = self._coord_cache
+        if cache is not None and cache[0] == self._coord_ver:
+            return cache[1]
+        arrs = (np.asarray(self.x0, dtype=float),
+                np.asarray(self.y0, dtype=float),
+                np.asarray(self.x1, dtype=float),
+                np.asarray(self.y1, dtype=float),
+                np.asarray(self.is_empty, dtype=bool))
+        self._coord_cache = (self._coord_ver, arrs)
+        return arrs
 
     @staticmethod
     def from_fields(fields: pd.DataFrame,
                     cfg: ExtractConfig = DEFAULT_CONFIG) -> "CellStore":
         """Build the store from the word-level field frame and guess all
         types in one vectorized pass (celltype.py:48-81)."""
-        s = CellStore(cfg=cfg, matchers=TypeMatchers(cfg))
-        texts = fields["text"].astype(str).str.strip()
-        s.text = texts.tolist()
-        s.x0 = fields["x0"].astype(float).tolist()
-        s.y0 = fields["y0"].astype(float).tolist()
-        s.x1 = fields["x1"].astype(float).tolist()
-        s.y1 = fields["y1"].astype(float).tolist()
+        s = CellStore(cfg=cfg, matchers=ct.matchers_for(cfg))
+        # plain-python strip/float loops: the frames here are tens to
+        # hundreds of rows, where the pandas str-accessor / astype
+        # machinery costs more than the work itself
+        s.text = [str(t).strip() for t in fields["text"].tolist()]
+        s.x0 = [float(v) for v in fields["x0"].tolist()]
+        s.y0 = [float(v) for v in fields["y0"].tolist()]
+        s.x1 = [float(v) for v in fields["x1"].tolist()]
+        s.y1 = [float(v) for v in fields["y1"].tolist()]
+        texts = s.text
         # payloads carry no font: cell height is the fontsize proxy, so
         # equal-height text compares equal (rel_indicator_time_annot)
         s.fontsize = [round(b - a, 2) for a, b in zip(s.y0, s.y1)]
@@ -103,19 +130,19 @@ class CellStore:
         return s
 
     def add_empty(self) -> int:
+        self._coord_ver += 1
         self.text.append("")
         for arr in (self.x0, self.y0, self.x1, self.y1, self.fontsize):
             arr.append(math.nan)
         self.is_empty.append(True)
-        p = np.full(N_TYPES, np.nan)
-        p[EMPTY] = 1.0
-        self.P.append(p)
+        self.P.append(_EMPTY_P.copy())
         self.fallback.append(False)
         self.inferred.append(EMPTY)
         return len(self.text) - 1
 
     def duplicate(self, i: int) -> int:
         """Cell.duplicate (cell.py:232-238): same values, fresh type."""
+        self._coord_ver += 1
         self.text.append(self.text[i])
         self.x0.append(self.x0[i])
         self.y0.append(self.y0[i])
@@ -156,6 +183,7 @@ class CellStore:
         """Cell.merge (cell.py:330-356): text/bbox merge; the survivor's
         type state is kept unchanged (reference quirk)."""
         self.text[keep] = f"{self.text[keep]}{merge_char}{self.text[other]}"
+        self._coord_ver += 1
         if not self.is_empty[keep] and not self.is_empty[other]:
             self.x0[keep] = min(self.x0[keep], self.x0[other])
             self.y0[keep] = min(self.y0[keep], self.y0[other])
@@ -515,10 +543,29 @@ class Grid:
 
     def _stripes(self, d: int) -> list[Optional[tuple]]:
         """Per-ref-cell stripe bboxes: expanding N/S uses column
-        stripes, W/E row stripes (table.py:233-235)."""
-        if d in (N, S):
-            return [self.col_stripe(c) for c in range(self.n_cols)]
-        return [self.row_stripe(r) for r in range(self.n_rows)]
+        stripes, W/E row stripes (table.py:233-235).  One vectorized
+        nanmin/nanmax sweep instead of a per-series _union loop (the
+        expand fixpoint calls this per direction per round)."""
+        s = self.store
+        idx = np.asarray(self.cells, dtype=np.int64)
+        sx0, sy0, sx1, sy1, semp = s.coord_arrays()
+        emp = semp[idx]
+        nan = np.nan
+        x0 = np.where(emp, nan, sx0[idx])
+        y0 = np.where(emp, nan, sy0[idx])
+        x1 = np.where(emp, nan, sx1[idx])
+        y1 = np.where(emp, nan, sy1[idx])
+        axis = 0 if d in (N, S) else 1
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ux0 = np.nanmin(x0, axis=axis).tolist()
+            uy0 = np.nanmin(y0, axis=axis).tolist()
+            ux1 = np.nanmax(x1, axis=axis).tolist()
+            uy1 = np.nanmax(y1, axis=axis).tolist()
+        valid = (~np.all(emp, axis=axis)).tolist()
+        return [(ux0[k], uy0[k], ux1[k], uy1[k]) if valid[k] else None
+                for k in range(len(valid))]
 
     def _select_adjacent(self, d: int, pool: list[int]) -> list[int]:
         """Bounds.select_adjacent_cells + the module-level overlap
@@ -543,39 +590,53 @@ class Grid:
         else:
             w, e, n_b, s_b = sx1, None, sy0, sy1
 
-        def within(i: int, wb, eb, nb, sb) -> bool:
-            # within_h_bounds / within_v_bounds (bounds.py:190-220)
-            if wb is not None and eb is not None:
-                if not _is_olap(wb, eb, s.x0[i], s.x1[i], 0.5):
-                    return False
-            else:
-                if wb is not None and s.x1[i] <= wb:
-                    return False
-                if eb is not None and s.x0[i] >= eb:
-                    return False
-            if nb is not None and sb is not None:
-                if not _is_olap(nb, sb, s.y0[i], s.y1[i], 0.5):
-                    return False
-            else:
-                if nb is not None and s.y1[i] <= nb:
-                    return False
-                if sb is not None and s.y0[i] >= sb:
-                    return False
-            return True
+        # within_h_bounds / within_v_bounds (bounds.py:190-220),
+        # vectorized over the candidate pool (the pool is every
+        # unassigned field — the only O(pool) part of an expand step)
+        pool_arr = np.asarray(pool, dtype=np.int64)
+        ax0, ay0, ax1, ay1, _ = s.coord_arrays()
+        px0, py0 = ax0[pool_arr], ay0[pool_arr]
+        px1, py1 = ax1[pool_arr], ay1[pool_arr]
 
-        cells = [i for i in pool if within(i, w, e, n_b, s_b)]
-        if not cells:
+        def within_mask(x0, y0, x1, y1, wb, eb, nb, sb):
+            m = np.ones(len(x0), dtype=bool)
+            if wb is not None and eb is not None:
+                dd = np.minimum(eb, x1) - np.maximum(wb, x0)
+                np.clip(dd, 0.0, None, out=dd)
+                m &= dd >= 0.5 * np.minimum(eb - wb, x1 - x0)
+            else:
+                if wb is not None:
+                    m &= x1 > wb
+                if eb is not None:
+                    m &= x0 < eb
+            if nb is not None and sb is not None:
+                dd = np.minimum(sb, y1) - np.maximum(nb, y0)
+                np.clip(dd, 0.0, None, out=dd)
+                m &= dd >= 0.5 * np.minimum(sb - nb, y1 - y0)
+            else:
+                if nb is not None:
+                    m &= y1 > nb
+                if sb is not None:
+                    m &= y0 < sb
+            return m
+
+        mask = within_mask(px0, py0, px1, py1, w, e, n_b, s_b)
+        if not mask.any():
             return []
+        cells = pool_arr[mask].tolist()
+        cx0, cy0 = px0[mask], py0[mask]
+        cx1, cy1 = px1[mask], py1[mask]
         # update_missing_bound: nearest candidate line
         if d == N:
-            n_b = max(s.y0[i] for i in cells)
+            n_b = float(cy0.max())
         elif d == S:
-            s_b = min(s.y1[i] for i in cells)
+            s_b = float(cy1.min())
         elif d == W:
-            w = max(s.x0[i] for i in cells)
+            w = float(cx0.max())
         else:
-            e = min(s.x1[i] for i in cells)
-        min_cells = [i for i in cells if within(i, w, e, n_b, s_b)]
+            e = float(cx1.min())
+        mmask = within_mask(cx0, cy0, cx1, cy1, w, e, n_b, s_b)
+        min_cells = [i for i, keep in zip(cells, mmask.tolist()) if keep]
 
         # transitive overlap closure (0.8 in d's orientation axis)
         if d in (N, S):
