@@ -1058,7 +1058,7 @@ def extract_turn(payload: str,
         from pdf2gtfs_spark.kernel.newpath import tables_from_fields
 
         for table_id, tt in enumerate(
-                tables_from_fields(fields.to_frame(), cfg)):
+                tables_from_fields(fields, cfg)):
             result.tables.append(tt.to_result(table_id, cfg,
                                               light=light))
         return result

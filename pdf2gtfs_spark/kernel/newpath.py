@@ -100,13 +100,15 @@ class Typer:
         self.strict = store_strict[idx]
         self.empty = np.asarray(s.is_empty, dtype=bool)[idx]
         # O(1) series-type lookups: per-row/col strict-type counts,
-        # kept incrementally up to date by _set_strict during sweeps
-        self._rc = np.stack([np.bincount(self.strict[r],
-                                         minlength=ct.N_TYPES)
-                             for r in range(R)]).astype(np.int32)
-        self._cc = np.stack([np.bincount(self.strict[:, c],
-                                         minlength=ct.N_TYPES)
-                             for c in range(C)]).astype(np.int32)
+        # kept incrementally up to date by _set_strict during sweeps.
+        # One flattened bincount per axis instead of R+C small ones.
+        nt = ct.N_TYPES
+        self._rc = np.bincount(
+            (self.strict + np.arange(R)[:, None] * nt).ravel(),
+            minlength=R * nt).reshape(R, nt)
+        self._cc = np.bincount(
+            (self.strict + np.arange(C)[None, :] * nt).ravel(),
+            minlength=C * nt).reshape(C, nt)
         # per-cell bbox cache; EmptyCell bboxes derive from the col
         # x-stripe + row y-stripe (store coords are NaN at empties, so
         # nanmin/nanmax ARE the stripe unions); geometry is static
@@ -543,6 +545,7 @@ class Typer:
             return
         order = (ct.FALLBACK_ORDER if s.fallback[i] else ct.ABS_ORDER)
         row = self._P_py[i]         # python floats; see refresh()
+        rel_list = self._REL_LIST   # type-indexed REL dispatch
         best_t, best_v = None, -math.inf
         isnan = math.isnan
         for t in order:
@@ -551,10 +554,9 @@ class Typer:
                 continue
             if t == OTHER:
                 mult = 0.1
-            elif t in self._REL:
-                mult = self._REL[t](self, r, c)
             else:
-                mult = p
+                fn = rel_list[t]
+                mult = fn(self, r, c) if fn is not None else p
             if not mult:
                 continue
             score = mult * p
@@ -572,6 +574,9 @@ class Typer:
             for r in range(self.g.n_rows):
                 self.infer_cell(r, c)
 
+
+# type-indexed REL dispatch (list index beats dict hash in the sweep)
+Typer._REL_LIST = [Typer._REL.get(t) for t in range(ct.N_TYPES)]
 
 # ---------------------------------------------------------------------------
 # cleanup (table.py:748-856)
@@ -997,16 +1002,30 @@ def merge_tables(tables: list[TypedTable]) -> list[TypedTable]:
 # per-turn orchestration (reader.py:292-318)
 # ---------------------------------------------------------------------------
 
-def tables_from_fields(fields: pd.DataFrame,
+def tables_from_fields(fields,
                        cfg: ExtractConfig = DEFAULT_CONFIG
                        ) -> list[TypedTable]:
-    """create_tables_from_page for one turn's word fields."""
+    """create_tables_from_page for one turn's word fields.
+
+    Accepts either the word-field DataFrame (external callers/tests)
+    or the kernel's columnar ``_Fields`` arrays directly — the hot path
+    skips the pandas round-trip entirely."""
     from pdf2gtfs_spark.kernel.table_grid import CellStore
 
-    fields = fields[~fields["text"].str.startswith("(cid")]
-    if fields.empty:
-        return []
-    store = CellStore.from_fields(fields, cfg)
+    if isinstance(fields, pd.DataFrame):
+        fields = fields[~fields["text"].str.startswith("(cid")]
+        if fields.empty:
+            return []
+        store = CellStore.from_fields(fields, cfg)
+    else:
+        keep = np.fromiter(
+            (not t.startswith("(cid") for t in fields.text),
+            count=len(fields.text), dtype=bool)
+        if not keep.all():
+            fields = fields.take(keep)
+        if len(fields.text) == 0:
+            return []
+        store = CellStore.from_arrays(fields, cfg)
     # vectorized strict-type pass for the time/other split (the
     # fresh store has no inferred types yet, so strict == guess)
     Pm = np.stack(store.P)

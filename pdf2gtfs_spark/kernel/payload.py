@@ -98,7 +98,7 @@ def decode_payload_arrays(payload: str) -> tuple[PageBox, dict]:
     # regardless of a '(cid:' prefix (reader.py:84-95) — mirrored
     # bug-for-bug, so the skip must key on length only.
     raw = arr[:, 4].tolist()
-    if any(len(t) > 1 for t in raw):
+    if max(map(len, raw), default=0) > 1:
         text = np.array(
             [_fix_cid_text(t) if len(t) > 1 else t for t in raw],
             dtype=object)

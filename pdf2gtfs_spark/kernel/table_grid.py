@@ -129,6 +129,25 @@ class CellStore:
         s.inferred = [None] * len(s.text)
         return s
 
+    @staticmethod
+    def from_arrays(fields, cfg: ExtractConfig = DEFAULT_CONFIG
+                    ) -> "CellStore":
+        """from_fields for the kernel's columnar ``_Fields`` arrays —
+        identical semantics, no pandas frame in between."""
+        s = CellStore(cfg=cfg, matchers=ct.matchers_for(cfg))
+        s.text = [str(t).strip() for t in fields.text.tolist()]
+        s.x0 = fields.x0.tolist()
+        s.y0 = fields.y0.tolist()
+        s.x1 = fields.x1.tolist()
+        s.y1 = fields.y1.tolist()
+        s.fontsize = [round(b - a, 2) for a, b in zip(s.y0, s.y1)]
+        s.is_empty = [False] * len(s.text)
+        P, fb = s.matchers.guess(s.text)
+        s.P = [P[i] for i in range(len(s.text))]
+        s.fallback = fb.tolist()
+        s.inferred = [None] * len(s.text)
+        return s
+
     def add_empty(self) -> int:
         self._coord_ver += 1
         self.text.append("")
@@ -550,19 +569,18 @@ class Grid:
         idx = np.asarray(self.cells, dtype=np.int64)
         sx0, sy0, sx1, sy1, semp = s.coord_arrays()
         emp = semp[idx]
-        nan = np.nan
-        x0 = np.where(emp, nan, sx0[idx])
-        y0 = np.where(emp, nan, sy0[idx])
-        x1 = np.where(emp, nan, sx1[idx])
-        y1 = np.where(emp, nan, sy1[idx])
+        inf = np.inf
+        # +-inf masking instead of NaN+nanmin: same unions (non-empty
+        # coords are finite), no RuntimeWarning machinery per call
+        x0 = np.where(emp, inf, sx0[idx])
+        y0 = np.where(emp, inf, sy0[idx])
+        x1 = np.where(emp, -inf, sx1[idx])
+        y1 = np.where(emp, -inf, sy1[idx])
         axis = 0 if d in (N, S) else 1
-        import warnings
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", RuntimeWarning)
-            ux0 = np.nanmin(x0, axis=axis).tolist()
-            uy0 = np.nanmin(y0, axis=axis).tolist()
-            ux1 = np.nanmax(x1, axis=axis).tolist()
-            uy1 = np.nanmax(y1, axis=axis).tolist()
+        ux0 = x0.min(axis=axis).tolist()
+        uy0 = y0.min(axis=axis).tolist()
+        ux1 = x1.max(axis=axis).tolist()
+        uy1 = y1.max(axis=axis).tolist()
         valid = (~np.all(emp, axis=axis)).tolist()
         return [(ux0[k], uy0[k], ux1[k], uy1[k]) if valid[k] else None
                 for k in range(len(valid))]
