@@ -124,11 +124,58 @@ def main() -> None:
             results[name] = round(statistics.median(
                 _reps(lambda: run(df, salt))), 3)
 
+        # Reassembly-stage skew (VERDICT r4 ask #6): the
+        # conv-grain groupBy(conv_id) reassembly is the one
+        # conversation-keyed shuffle in the pipeline; on the monster
+        # layout one reduce task receives all 2^11 turns of the big
+        # conversation.  Measure the same kernel with the per-conv
+        # reassembly on top and report the stage delta vs the per-turn
+        # surface for skewed and uniform inputs — if the deltas match,
+        # the hot key is benign (the reduce rows are small extracted
+        # CSV texts, not raw payloads).
+        from pyspark.sql import functions as F
+
+        # Materialize the per-turn surface of the SKEWED input once,
+        # then time ONLY the conv-grain aggregation over it — the
+        # kernel stage is out of the measurement entirely, so the pair
+        # isolates the shuffle/reduce cost of the hot conversation key
+        # against the same rows under uniform keys.
+        per_turn_path = f"{tmp}/per_turn"
+        (turn_csvs(run_extract(skew_df, num_partitions=4 * N_CPUS,
+                               emit="csv"))
+         .write.mode("overwrite").parquet(per_turn_path))
+        pt = spark.read.parquet(per_turn_path)
+        # uniform-key control: same rows, conv key striped 4-per-conv
+        pt_uni = pt.withColumn(
+            "conv_id",
+            F.concat(F.lit("u"), (F.xxhash64("conv_id", "turn_idx")
+                                  % (n_turns // 4)).cast("string")))
+
+        def agg_only(df):
+            (df.groupBy("conv_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("turn_idx", "extracted_csvs"))),
+                     lambda s: s["extracted_csvs"]),
+                 "\n\x1e\n").alias("conversation_doc"),
+                 F.count("*").alias("n_turns"))
+             .write.format("noop").mode("overwrite").save())
+
+        reassembly = {}
+        for name, df in [("hot_conv_key", pt), ("uniform_keys", pt_uni)]:
+            agg_only(df)  # warm
+            reassembly[name] = round(statistics.median(
+                _reps(lambda: agg_only(df))), 3)
+        reassembly["hot_vs_uniform_ratio"] = round(
+            reassembly["hot_conv_key"] / reassembly["uniform_keys"], 3)
+
         eff = round(results["uniform"] / results["skew_salt"], 3)
         print(json.dumps({
             "metric": "skew_efficiency", "value": eff,
             "unit": "ratio(uniform/skew_salt)",
             "seconds": results,
+            "reassembly": reassembly,
             "turns": n_turns, "monster_turns": MONSTER_TURNS,
             "cpus": N_CPUS,
             "turns_per_sec": {k: round(n_turns / v, 1)
