@@ -426,6 +426,154 @@ class TestAdversarialLayouts:
                           expect_tables=False)
 
 
+class TestAdversarialLayoutsV3:
+    """Third-generation sweep (round 5): per-block FONT-SIZE variation
+    (char boxes scaled 0.8-1.5x, oversized headers), sub-threshold
+    y-jitter on data rows (line-clustering tolerance), transposed
+    blocks WITH repeat rows (the combo absent from V2), and multi-cell
+    legend lines.  Both engines read the identical char frame — the
+    payload wire format carries full per-char boxes, and the reference
+    uses cell height as its fontsize proxy (see run_reference) — so
+    size perturbations reach every geometry-sensitive decision.  The
+    full sweep runs offline; a rotating sample stays in CI."""
+
+    @staticmethod
+    def _payload_sized(cells):
+        """Like test_newpath._payload but cells carry a per-cell scale:
+        (text, x, y, scale) -> char boxes of CHAR_W*s x CHAR_H*s."""
+        import pandas as pd
+
+        from pdf2gtfs_spark.kernel.payload import (
+            CHAR_COLUMNS, CHAR_H, CHAR_W, PageBox, encode_chars,
+        )
+        chars = []
+        for text, x0, y0, s in cells:
+            w, h = CHAR_W * s, CHAR_H * s
+            x = x0
+            for chx in text:
+                chars.append((round(x, 2), round(y0, 2),
+                              round(x + w, 2), round(y0 + h, 2), chx))
+                x += w
+        df = pd.DataFrame(chars, columns=CHAR_COLUMNS)
+        page = PageBox(0, 0, float(df["x1"].max() + 40),
+                       float(df["y1"].max() + 40))
+        return encode_chars(page, df)
+
+    @staticmethod
+    def _layout(rng):
+        from pdf2gtfs_spark.kernel.payload import CHAR_W
+        cells = []
+        n_blocks = rng.randint(1, 2)
+        y = 90.0
+        for _ in range(n_blocks):
+            scale = rng.choice([0.8, 1.0, 1.0, 1.2, 1.5])
+            hdr_scale = scale * rng.choice([1.0, 1.0, 1.25])
+            jitter = rng.choice([0.0, 0.6, 1.0])
+            row_step = 10.0 * max(scale, hdr_scale)
+            transposed = rng.random() < 0.35
+            if not transposed:
+                n_stops = rng.randint(4, 9)
+                n_trips = rng.randint(2, 5)
+                x_stops = 40.0
+                x_annot = x_stops + 20 * CHAR_W * scale
+                xs = [x_annot + 4 * CHAR_W
+                      + k * 11 * CHAR_W * scale for k in range(n_trips)]
+                if rng.random() < 0.7:
+                    hdr = rng.choice(["Sonntag", "Samstag",
+                                      "Montag - Freitag",
+                                      "Sonn- und Feiertag"])
+                    if rng.random() < 0.3 and " " in hdr:
+                        for wi, w in enumerate(
+                                hdr.split()[:n_trips]):
+                            cells.append((w, xs[wi], y, hdr_scale))
+                    else:
+                        cells.append((hdr, xs[0], y, hdr_scale))
+                y += row_step + 2
+                for s in range(n_stops):
+                    yy = y + s * row_step + rng.uniform(-jitter, jitter)
+                    nm = rng.choice([f"Halt {chr(65 + s)} Strasse",
+                                     f"Stop {s} Platz",
+                                     f"Bahnhof {chr(70 + s)} Nord"])
+                    cells.append((nm, x_stops, yy, scale))
+                    if rng.random() < 0.25:
+                        cells.append((rng.choice(["an", "ab"]),
+                                      x_annot, yy, scale))
+                    for k, x in enumerate(xs):
+                        if rng.random() < 0.15:
+                            continue
+                        h, m = divmod((6 * 60 + 19 * k + 7 * s
+                                       + rng.randint(0, 3)) % 1440, 60)
+                        cells.append((f"{h}.{m:02}", x, yy, scale))
+                if rng.random() < 0.3 and n_trips >= 3:
+                    x_rep = xs[rng.randint(0, n_trips - 2)] \
+                        + 5 * CHAR_W * scale
+                    cells.append(("alle", x_rep, y + row_step, scale))
+                    cells.append((str(rng.randint(3, 60)), x_rep,
+                                  y + 2 * row_step, scale))
+                    cells.append((rng.choice(["Min.", "min"]), x_rep,
+                                  y + 3 * row_step, scale))
+                y += n_stops * row_step + 6
+            else:
+                n = rng.randint(4, 7)
+                xs = [40.0 + k * 18 * CHAR_W * scale for k in range(n)]
+                for k, x in enumerate(xs):
+                    nm = f"Halt {chr(65 + k)} Weg"
+                    cells.append(
+                        (nm, x - (len(nm) * CHAR_W * scale - 20) / 2,
+                         y, scale))
+                n_rows = rng.randint(3, 6)
+                rep_row = (rng.randint(1, n_rows - 1)
+                           if rng.random() < 0.4 and n_rows >= 3
+                           else None)
+                for r in range(n_rows):
+                    yy = y + (r + 1.2) * row_step \
+                        + rng.uniform(-jitter, jitter)
+                    if r == rep_row:
+                        # repeat ROW in transposed orientation: the
+                        # V2 family never combined these
+                        x_rep = xs[0]
+                        for wi, w in enumerate(
+                                ["alle", str(rng.randint(5, 30)),
+                                 "Min."]):
+                            cells.append(
+                                (w, x_rep + wi * 6 * CHAR_W * scale,
+                                 yy, scale))
+                        continue
+                    for k, x in enumerate(xs):
+                        if rng.random() < 0.1:
+                            continue
+                        h, m = divmod((7 * 60 + 13 * r + 5 * k) % 1440,
+                                      60)
+                        cells.append((f"{h}.{m:02}", x, yy, scale))
+                y += (n_rows + 2) * row_step
+            y += 30.0 * max(scale, 1.0)
+        if rng.random() < 0.4:
+            # multi-cell legend line: several "k=desc" items abreast
+            n_leg = rng.randint(1, 3)
+            for i in range(n_leg):
+                cells.append(
+                    (rng.choice(["a=verkehr", "V=Hinweis", "b = Bus",
+                                 "x=nur Schultage"]),
+                     40.0 + i * 30 * CHAR_W, y + 6, 1.0))
+        return cells
+
+    # rotating CI sample from the round-5 offline sweep (new-path
+    # 500 seeds + legacy 300 seeds at 30000+, 0 divergences; the only
+    # exception family was the reference's own insert_repeat_cells
+    # zip-strict crash, 76/500 — pinned with a V3 seed in
+    # TestRound4SweepFindings).  30158 is one such crash seed and is
+    # excluded here.
+    @pytest.mark.parametrize("seed", [30000, 30007, 30013, 30021,
+                                      30042, 30077, 30104, 30150,
+                                      30233, 30301, 30444, 30590])
+    def test_sized_adversarial_layout(self, seed, tmp_path):
+        import random
+        rng = random.Random(seed)
+        payload = self._payload_sized(self._layout(rng))
+        assert_equivalent(payload_fields(payload), tmp_path,
+                          f"v3_{seed}", expect_tables=False)
+
+
 class TestLegacySurface:
     """Differential tests for the LEGACY extraction path: repo
     kernel/extract.py vs the reference legacy engine
@@ -609,20 +757,32 @@ class TestRound4SweepFindings:
 
     @pytest.mark.parametrize("seed,exc", [(20338, ValueError),
                                           (20565, ValueError),
-                                          (21526, AssertionError)])
+                                          (21526, AssertionError),
+                                          (30005, ValueError)])
     def test_reference_crashes_on_repeat_head_mismatch(self, seed, exc):
         """Documented divergence (new family): the reference NEW-path
         engine crashes in insert_repeat_cells -> Table.insert when the
         repeat column's head mismatches the relative cells — either
         the zip(strict=True) at table.py:191 or the neighbor assert at
         table.py:183; the repo extracts the tables.  3/1950 round-4
-        sweep layouts hit this."""
+        sweep layouts hit this; the round-5 V3 family (font-size
+        variation + transposed repeat ROWS) hits it far more often
+        (76/500 new-path seeds, e.g. 30005; sampled classification
+        resolved every new-path exception to this one site).  The
+        35/300 legacy-surface V3 exceptions are all the OTHER known
+        family (pdftable.py:100 stop-less IndexError, pinned in
+        test_reference_crashes_without_stop_column)."""
         import random
 
         from test_newpath import _payload
         rng = random.Random(seed)
-        fields = payload_fields(_payload(
-            TestAdversarialLayouts._layout(rng)))
+        if seed >= 30000:
+            fields = payload_fields(
+                TestAdversarialLayoutsV3._payload_sized(
+                    TestAdversarialLayoutsV3._layout(rng)))
+        else:
+            fields = payload_fields(_payload(
+                TestAdversarialLayouts._layout(rng)))
         with pytest.raises(exc):
             run_reference(fields)
         tables = tables_from_fields(fields, NEW_CFG)
