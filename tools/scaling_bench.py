@@ -45,7 +45,10 @@ def run_level(cpus: int, sf_dir: str) -> dict:
                # scaling runs measure extraction only; the operator
                # suite is benched separately by the driver's bench.py
                SPARK_GRAFT_BENCH_QUERIES="0",
-               SPARK_GRAFT_BENCH_NEWPATH="0")
+               SPARK_GRAFT_BENCH_NEWPATH="0",
+               # 16,384 turns IS the steady-sized workload here; the
+               # bench's own 10x steady add-on would decuple it again
+               SPARK_GRAFT_BENCH_STEADY="0")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, check=True)
