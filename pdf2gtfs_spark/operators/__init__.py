@@ -27,6 +27,6 @@ def register(name: str, oracle: Optional[str] = None):
 def load_all() -> None:
     """Import all operator modules so their registrations run."""
     from pdf2gtfs_spark.operators import (  # noqa: F401
-        feed, gtfs, locate, locate_route, multimodal, osm, relational,
-        scalars, textops,
+        feed, gtfs, htmlstrip, locate, locate_route, multimodal, osm,
+        relational, scalars, textops,
     )
