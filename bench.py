@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard", "minhash_lsh_pairs", "simhash_fingerprints",
     "embedding_cosine_topk", "embedding_ivf_topk", "langid_stopword_vote",
     "quality_score", "doc_fingerprint", "training_data_clean",
+    "html_main_content",
     "locate_travel_cost",
     "locate_interpolation", "locate_name_cost",
 ]
