@@ -828,6 +828,17 @@ class TypedTable:
                     if not ent["repeat_texts"]:
                         ent["repeat_texts"] = [text]
                         ent["kind"] = "repeat"
+                        # reference quirk (table.py:660-666 +
+                        # entries.py:120-135): the entry is REPLACED by
+                        # TimeTableRepeatEntry.from_entry, which copies
+                        # only days + annotations — Time values and the
+                        # route name seen BEFORE the first RepeatValue
+                        # cell are silently discarded (values in later
+                        # rows are kept). Found by sweep seed 31763: a
+                        # merged table put Times above the repeat cells
+                        # in the same column.
+                        ent["values"] = {}
+                        ent["route_name"] = ""
                     valid.add(e_id)
 
         stop_names = [t.strip() for t in stop_texts]

@@ -169,9 +169,21 @@ class CellStore:
         self.y1.append(self.y1[i])
         self.fontsize.append(self.fontsize[i])
         self.is_empty.append(self.is_empty[i])
-        # re-guess = same P (pure function of text)
-        self.P.append(self.P[i].copy())
-        self.fallback.append(self.fallback[i])
+        if self.is_empty[i]:
+            self.P.append(self.P[i].copy())
+            self.fallback.append(self.fallback[i])
+        else:
+            # the reference's duplicate() builds a FRESH Cell whose
+            # first guess_type() runs on the CURRENT text — which can
+            # differ from the P cached at store build when
+            # merge_consecutive_days mutated the source text without
+            # refreshing its (deliberately stale, celltype.py:57-58)
+            # possible_types. Found by sweep seed 31062: a duplicated
+            # merged days header must re-guess as Days, while the
+            # original keeps its stale cache in both engines.
+            P, fb = self.matchers.guess_list([self.text[i]])
+            self.P.append(P[0])
+            self.fallback.append(bool(fb[0]))
         self.inferred.append(None if not self.is_empty[i] else EMPTY)
         return len(self.text) - 1
 

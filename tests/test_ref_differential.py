@@ -788,6 +788,59 @@ class TestRound4SweepFindings:
         tables = tables_from_fields(fields, NEW_CFG)
         assert tables            # repo handles the layout
 
+    def test_duplicate_reguesses_merged_days_text(self, tmp_path):
+        """Seed 31062 (round-5 sweep): Table.duplicate() in the
+        reference builds a FRESH Cell, so its first guess_type() runs
+        on the CURRENT text — which differs from the cached guess when
+        merge_consecutive_days mutated the source text without
+        refreshing its deliberately-stale possible_types
+        (celltype.py:57-58).  CellStore.duplicate now re-guesses from
+        the live text for non-empty cells (table_grid.py)."""
+        import random
+        rng = random.Random(31062)
+        payload = TestAdversarialLayoutsV3._payload_sized(
+            TestAdversarialLayoutsV3._layout(rng))
+        assert_equivalent(payload_fields(payload), tmp_path,
+                          "v3_31062", expect_tables=False)
+
+    def test_repeat_entry_discards_pre_repeat_values(self, tmp_path):
+        """Seed 31763 (round-5 sweep): when an entry's column gains its
+        first RepeatValue cell, the reference REPLACES the entry with
+        TimeTableRepeatEntry.from_entry (table.py:660-666,
+        entries.py:120-135), copying only days + annotations — Time
+        values and the route name seen BEFORE the repeat cell are
+        silently discarded (later rows are kept).  Mirrored in
+        kernel/newpath.py to_timetable."""
+        import random
+        rng = random.Random(31763)
+        payload = TestAdversarialLayoutsV3._payload_sized(
+            TestAdversarialLayoutsV3._layout(rng))
+        assert_equivalent(payload_fields(payload), tmp_path,
+                          "v3_31763", expect_tables=False)
+
+    def test_reference_crashes_on_stop_annot_without_stop(self):
+        """Documented divergence (round-5 sweep seed 31199, 1/1000):
+        when a StopAnnot cell lands in a grid row that contributed no
+        Stop, the reference's to_timetable calls
+        stops.add_annotation(stop_id) -> get_from_id returns None ->
+        AttributeError at stops.py:64.  The repo's to_timetable
+        (kernel/newpath.py) only records annotations for rows in the
+        stop series, so it extracts the table.  The table-build stage
+        agrees in both engines; only the timetable conversion
+        diverges."""
+        import random
+        rng = random.Random(31199)
+        fields = payload_fields(
+            TestAdversarialLayoutsV3._payload_sized(
+                TestAdversarialLayoutsV3._layout(rng)))
+        ref_tables = run_reference(fields)
+        repo_tables = tables_from_fields(fields, NEW_CFG)
+        assert len(repo_tables) == len(ref_tables)
+        with pytest.raises(AttributeError):
+            for t in ref_tables:
+                ref_timetable(t)
+        assert any(repo_timetable(t) is not None for t in repo_tables)
+
 
 class TestSeededRandomLayouts:
     """Seeded layout sweep: vary stop/trip counts, days headers,
