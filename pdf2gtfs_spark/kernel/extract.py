@@ -578,9 +578,17 @@ def _col_segments(cells: _Cells) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _column_types(cells: _Cells, col_order: list[int],
-                  m: _Matchers) -> dict[int, str]:
+                  m: _Matchers) -> tuple[dict[int, str], set[int]]:
     """Left-to-right lazy column typing (pdftable/container.py:273-302),
-    including the retroactive previous-OTHER -> STOP upgrade."""
+    including the retroactive previous-OTHER -> STOP upgrade.
+
+    Also returns the set of retroactively-UPGRADED columns: the
+    reference evaluates types lazily during the split decision's
+    of_type scan (lists.py:73-80), so an upgrade fired while
+    evaluating column j lands on j-1 AFTER the scan already visited
+    j-1 — upgraded columns are invisible to the multi-stop-column
+    split decision but cached as STOP for every later consumer
+    (sweep v4 seed 50315: side-by-side blocks stay ONE table)."""
     col_ids, starts = _col_segments(cells)
     ends = np.append(starts[1:], len(cells))
     lens = np.array([len(t) for t in cells.text], dtype=float)
@@ -599,6 +607,7 @@ def _column_types(cells: _Cells, col_order: list[int],
             "\n".join(cells.text[s:e]),
         )
     types: dict[int, str] = {}
+    upgraded: set[int] = set()
     for i, cid in enumerate(col_order):
         mean_len, n_fields, n_empty, has_annot, has_data, joined = stats[cid]
         is_sparse = (n_fields / max(1, n_empty)) <= 0.5
@@ -611,13 +620,14 @@ def _column_types(cells: _Cells, col_order: list[int],
         if has_annot:
             if i > 0 and types.get(col_order[i - 1]) == C_OTHER:
                 types[col_order[i - 1]] = C_STOP
+                upgraded.add(col_order[i - 1])
             types[cid] = C_STOP_ANNOTATION
             continue
         if has_data:
             types[cid] = C_DATA
             continue
         types[cid] = C_OTHER
-    return types
+    return types, upgraded
 
 
 @dataclass
@@ -630,6 +640,9 @@ class _TableAnalysis:
     cells: _Cells
     col_order: list[int]
     col_types: dict[int, str]
+    # columns retroactively upgraded OTHER -> STOP; excluded from the
+    # multi-stop split DECISION (see _column_types docstring)
+    upgraded_stop_cols: set[int] = dc_field(default_factory=set)
 
 
 def _analyze_table(tf: _Fields, line_order: list[int],
@@ -643,13 +656,13 @@ def _analyze_table(tf: _Fields, line_order: list[int],
         return None
     cells = _cluster_columns(tf.take(body_mask), m)
     col_order = sorted(set(cells.col_id.tolist()))
-    col_types = _column_types(cells, col_order, m)
+    col_types, upgraded = _column_types(cells, col_order, m)
     return _TableAnalysis(
         line_order=list(line_order), rtypes=rtypes,
         row_type_of_line=row_type_of_line,
         line_to_row={lid: i for i, lid in enumerate(line_order)},
         tfields=tf, cells=cells, col_order=col_order,
-        col_types=col_types)
+        col_types=col_types, upgraded_stop_cols=upgraded)
 
 
 # ---------------------------------------------------------------------------
@@ -850,21 +863,43 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
         stop_names.append(name)
     stop_rows = [int(row_idx[i]) for i in stop_idx]
 
-    # stop annotations (STOP_ANNOTATION cols; route/annot rows skipped);
-    # later columns overwrite earlier ones (order is (col, y0))
-    ann_map: dict[int, str] = {}
+    # reference (timetable/table.py:63,108-127 + stops.py:53-57): columns
+    # are processed in document order and stops only EXIST once their
+    # STOP column has been reached, so a DATA column left of the stop
+    # column looks up stops in a still-empty list -> every value keys to
+    # None (and collapses, last-write-wins).  get_from_id returns the
+    # FIRST stop with the row id.  Mirror: per entry column, only stops
+    # whose column precedes it are visible (sweep v4 seed 50039).
+    col_pos = {cid: k for k, cid in enumerate(a.col_order)}
+    stop_col_pos = [col_pos[int(cells.col_id[i])] for i in stop_idx]
+
+    def _rows_visible_from(pos: int) -> dict[int, int]:
+        vis: dict[int, int] = {}
+        for p, r in enumerate(stop_rows):
+            if stop_col_pos[p] < pos and r not in vis:
+                vis[r] = p
+        return vis
+
+    # stop annotations (STOP_ANNOTATION cols; route/annot rows skipped),
+    # assigned in column order onto the FIRST stop already added for the
+    # row (add_annotation -> get_from_id, stops.py:59-64); a stop from a
+    # LATER column never receives the annotation even when it shares the
+    # row (sweep v4 seeds 50315/50488)
+    stop_annots = [""] * len(stop_names)
     annot_mask = ((ctype == C_STOP_ANNOTATION)
                   & (rt != R_ROUTE_INFO) & (rt != R_ANNOTATION))
     for i in np.flatnonzero(annot_mask):
-        ann_map[int(row_idx[i])] = cells.text[i]
+        vis = _rows_visible_from(col_pos[int(cells.col_id[i])])
+        p = vis.get(int(row_idx[i]))
+        if p is not None:
+            stop_annots[p] = cells.text[i]
 
     is_conn = detect_connections(stop_names, cfg)
     stops_records = [{
         "table_id": table_id, "stop_pos": p, "row_idx": r,
-        "stop_name": nm, "stop_annot": ann_map.get(r, ""),
+        "stop_name": nm, "stop_annot": stop_annots[p],
         "is_connection": ic,
     } for p, (r, nm, ic) in enumerate(zip(stop_rows, stop_names, is_conn))]
-    stop_pos_of_row = {r: p for p, r in enumerate(stop_rows)}
 
     # entries: one per DATA/REPEAT column with at least one DATA value
     entry_cols = [cid for cid in a.col_order
@@ -922,13 +957,17 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
     # and all stop-less rows share the single None key.  Mirrored by
     # keying each entry's values on (stop_name, stop_annot).
     per_entry: dict[int, tuple[dict, dict]] = {}
+    visible_cache: dict[int, dict[int, int]] = {}
     for i in np.flatnonzero(value_mask):
         cid = cells.col_id[i]
         mrow = meta.get(cid)
         if mrow is None:
             continue
         r = int(row_idx[i])
-        p = stop_pos_of_row.get(r)
+        vis = visible_cache.get(cid)
+        if vis is None:
+            vis = visible_cache[cid] = _rows_visible_from(col_pos[cid])
+        p = vis.get(r)
         key = ((stop_names[p], stops_records[p]["stop_annot"])
                if p is not None else None)
         _, vals = per_entry.setdefault(mrow["entry_id"], (mrow, {}))
@@ -1146,10 +1185,19 @@ def _split_multi_stop_columns(a: _TableAnalysis,
     """Split a table with several STOP columns into one table per stop
     column (pdftable/pdftable.py:151-163, 302-312). Fields are bucketed
     by the x0 of the 2nd..nth stop column; the single-stop fast path
-    reuses the existing analysis (no recomputation)."""
-    stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
-    if len(stop_cols) <= 1:
+    reuses the existing analysis (no recomputation).
+
+    The DECISION counts only genuinely-typed stop columns — a column
+    retroactively upgraded OTHER -> STOP is invisible to the
+    reference's deciding of_type scan (lists.py:73-80 evaluates
+    lazily in order; the upgrade lands on an already-visited column).
+    Once the split proceeds, split_at_stop_columns re-scans with warm
+    caches, so the BOUNDARIES include upgraded columns."""
+    genuine = [c for c in a.col_order if a.col_types[c] == C_STOP
+               and c not in a.upgraded_stop_cols]
+    if len(genuine) <= 1:
         return [a]
+    stop_cols = [c for c in a.col_order if a.col_types[c] == C_STOP]
     col_ids, starts = _col_segments(a.cells)
     ends = np.append(starts[1:], len(a.cells))
     col_x0 = {cid: float(a.cells.x0[s:e].min())

@@ -86,8 +86,22 @@ class Typer:
         R, C = g.n_rows, g.n_cols
         idx = np.asarray(g.cells, dtype=np.int64)          # (R, C)
         n = len(s.text)
-        Pm = np.stack(s.P) if n else np.zeros((0, ct.N_TYPES))
-        fb = np.asarray(s.fallback, dtype=bool)
+        # resolve duplicates' pending lazy guesses from CURRENT text —
+        # this is the repo's infer_cell_types moment (table.py:746),
+        # where the reference's fresh duplicate Cells run their first
+        # guess_type, after expand-merges mutated their text.  ONLY
+        # cells of THIS grid: the store is shared across grids, and a
+        # later grid's potential duplicates must stay pending until
+        # their own expand-merges finish (sweep seed 50713: resolving
+        # the whole store at grid 0's TypedTable froze '5:45' pre-merge
+        # for grid 2's '5:45 *6.02').
+        for i in {int(v) for v in idx.ravel()}:
+            if s.P[i] is None:
+                s._ensure_P(i)
+        nan_row = np.full(ct.N_TYPES, np.nan)
+        Pm = (np.stack([p if p is not None else nan_row for p in s.P])
+              if n else np.zeros((0, ct.N_TYPES)))
+        fb = np.asarray([bool(v) for v in s.fallback], dtype=bool)
         inferred = np.fromiter(
             (-1 if v is None else v for v in s.inferred),
             count=n, dtype=np.int64)
@@ -855,7 +869,14 @@ class TypedTable:
         prev_text = entries[0]["days_text"]
         rows = []
         entry_id = -1
-        for e_id in sorted(valid):
+        # reference (table.py:701): `for idx in valid_entry_ids` — a raw
+        # CPython set-of-int iteration, NOT ascending order.  Small ints
+        # hash to themselves, so e.g. {3,5,7,8} iterates 8,3,5,7 (8 sits
+        # in slot 0 of the size-8 table); the days forward-fill runs in
+        # that same order.  `valid` here is a real set built with the
+        # identical insertion sequence, so plain iteration reproduces
+        # the reference order exactly (sweep seed 50333).
+        for e_id in valid:
             ent = entries[e_id]
             entry_id += 1
             if not ent["days"]:
@@ -1052,34 +1073,57 @@ def tables_from_fields(fields,
     mega.insert_repeat_cells(pool)
     grids = mega.max_split(pool)
 
-    # assign_other_cells_to_tables (reader.py:227-289): bounds from the
-    # nearest table in each direction; cells are duplicated per table
+    # assign_other_cells_to_tables (reader.py:227-289): each bound is
+    # the FIRST strictly-non-overlapping neighbour found scanning
+    # outward from this table's own position in the axis-sorted order
+    # (get_next_lower/get_next_upper) — NOT the extremal bound over all
+    # such tables; with side-by-side layouts those differ (sweep seed
+    # 50233: the north bound must come from the nearest-by-y0 table,
+    # which can end higher than a farther one).  When both bounds of an
+    # axis exist, membership switches from exclusion to >=50%-of-min-
+    # extent overlap with the spanning strip (bounds.py:190-220).
     boxes = [g.bbox() for g in grids]
+    live = [k for k in range(len(grids)) if boxes[k] is not None]
+    by_y0 = sorted(live, key=lambda k: boxes[k][1])
+    by_y1 = sorted(live, key=lambda k: boxes[k][3])
+    by_x0 = sorted(live, key=lambda k: boxes[k][0])
+    by_x1 = sorted(live, key=lambda k: boxes[k][2])
+
+    def next_lower(order: list[int], gi: int, lo: int, hi: int):
+        idx = order.index(gi)
+        for k in order[idx - 1::-1]:
+            if boxes[k][hi] < boxes[gi][lo]:
+                return boxes[k][hi]
+        return None
+
+    def next_upper(order: list[int], gi: int, lo: int, hi: int):
+        idx = order.index(gi)
+        for k in order[idx + 1:]:
+            if boxes[k][lo] > boxes[gi][hi]:
+                return boxes[k][lo]
+        return None
+
+    def within(lo_b, hi_b, c_lo: float, c_hi: float) -> bool:
+        if lo_b is not None and hi_b is not None:
+            olap = max(0.0, min(hi_b, c_hi) - max(lo_b, c_lo))
+            return olap >= 0.5 * min(hi_b - lo_b, c_hi - c_lo)
+        if lo_b is not None and c_hi <= lo_b:
+            return False
+        if hi_b is not None and c_lo >= hi_b:
+            return False
+        return True
+
     for gi, g in enumerate(grids):
-        b = boxes[gi]
-        if b is None:
+        if boxes[gi] is None:
             g.potential = []
             continue
-        above = [bb[3] for bb in boxes if bb and bb[3] < b[1]]
-        below = [bb[1] for bb in boxes if bb and bb[1] > b[3]]
-        left = [bb[2] for bb in boxes if bb and bb[2] < b[0]]
-        right = [bb[0] for bb in boxes if bb and bb[0] > b[2]]
-        n_b = max(above) if above else None
-        s_b = min(below) if below else None
-        w_b = max(left) if left else None
-        e_b = min(right) if right else None
-        sel = []
-        for i in pool:
-            if n_b is not None and store.y1[i] <= n_b:
-                continue
-            if s_b is not None and store.y0[i] >= s_b:
-                continue
-            if w_b is not None and store.x1[i] <= w_b:
-                continue
-            if e_b is not None and store.x0[i] >= e_b:
-                continue
-            sel.append(store.duplicate(i))
-        g.potential = sel
+        n_b = next_lower(by_y0, gi, 1, 3)
+        s_b = next_upper(by_y1, gi, 1, 3)
+        w_b = next_lower(by_x0, gi, 0, 2)
+        e_b = next_upper(by_x1, gi, 0, 2)
+        g.potential = [store.duplicate(i) for i in pool
+                       if within(w_b, e_b, store.x0[i], store.x1[i])
+                       and within(n_b, s_b, store.y0[i], store.y1[i])]
 
     tables: list[TypedTable] = []
     for g in grids:

@@ -173,19 +173,29 @@ class CellStore:
             self.P.append(self.P[i].copy())
             self.fallback.append(self.fallback[i])
         else:
-            # the reference's duplicate() builds a FRESH Cell whose
-            # first guess_type() runs on the CURRENT text — which can
-            # differ from the P cached at store build when
-            # merge_consecutive_days mutated the source text without
-            # refreshing its (deliberately stale, celltype.py:57-58)
-            # possible_types. Found by sweep seed 31062: a duplicated
-            # merged days header must re-guess as Days, while the
-            # original keeps its stale cache in both engines.
-            P, fb = self.matchers.guess_list([self.text[i]])
-            self.P.append(P[0])
-            self.fallback.append(bool(fb[0]))
+            # the reference's duplicate() builds a FRESH Cell with an
+            # EMPTY type cache; its first guess_type() runs LAZILY at
+            # the first type access — in practice infer_cell_types
+            # (table.py:746), which is AFTER expand-merges mutated the
+            # text (Cell.merge never refreshes the deliberately-stale
+            # possible_types, celltype.py:57-58).  So a duplicate must
+            # be re-guessed from whatever its text says when the type
+            # is first read, not from the text at duplicate time.
+            # Found by sweep seeds 31062 (merged days header) and
+            # 50009 (stop merged with an 'an' annotation during
+            # expand, between duplicate and infer).
+            self.P.append(None)          # pending lazy guess
+            self.fallback.append(None)
         self.inferred.append(None if not self.is_empty[i] else EMPTY)
         return len(self.text) - 1
+
+    def _ensure_P(self, i: int) -> None:
+        """Resolve a duplicate's pending lazy guess from CURRENT text
+        (CellType.guess_type on first access, celltype.py:49-58)."""
+        if self.P[i] is None:
+            P, fb = self.matchers.guess_list([self.text[i]])
+            self.P[i] = P[0]
+            self.fallback[i] = bool(fb[0])
 
     # -- type queries (celltype.py argmax semantics) ---------------------
 
@@ -193,6 +203,7 @@ class CellStore:
         """Cell.get_type: inferred if set, else guess argmax."""
         if self.inferred[i] is not None:
             return self.inferred[i]
+        self._ensure_P(i)
         order = (ct.FALLBACK_ORDER if self.fallback[i] else ct.ABS_ORDER)
         p = self.P[i]
         best, best_v = OTHER, -math.inf
@@ -206,6 +217,7 @@ class CellStore:
         if strict:
             cur = self.strict_type(i)
             return any(cur == t for t in types)
+        self._ensure_P(i)
         p = self.P[i]
         return any(not math.isnan(p[t]) for t in types)
 

@@ -574,6 +574,143 @@ class TestAdversarialLayoutsV3:
                           f"v3_{seed}", expect_tables=False)
 
 
+class TestAdversarialLayoutsV4:
+    """Fourth-generation sweep family (round 5b): dimensions V1-V3
+    never exercised —
+
+    * keyword-confusable stop names carrying day / repeat / arrival /
+      route substrings ("Sonntagstrasse", "Allee Mitte", "Minden Bf",
+      "An der Alb", "Linie Nord") to stress the recognizers'
+      containment matching;
+    * malformed / annotated time cells: letter suffix ("7.15S"),
+      star prefix, >24h rollover values ("25.03"), colon separator,
+      bare hours, double dots — majority of cells stay well-formed so
+      tables still assemble;
+    * ``(cid:N)`` escape records (repairable -> chr(N), and
+      unparseable ones the reference filters at table build);
+    * exact-duplicate char boxes (same text, same coords);
+    * side-by-side blocks at the same y (x-gap, not y-gap, between
+      tables).
+    """
+
+    NAME_POOL = [
+        "Sonntagstrasse", "Samstagweg", "Allee Mitte", "Minden Bf",
+        "Anger Platz", "Abtsberg", "Montag Ort", "Linie Nord",
+        "Zugnummer Ost", "Verkehrshinweis Park", "An der Alb",
+        "M{U}ller Hof", "Gr{U}nweg", "Min Weg", "Feiertal",
+    ]
+
+    @staticmethod
+    def _time_text(rng, h, m):
+        r = rng.random()
+        if r < 0.55:
+            return f"{h}.{m:02}"
+        if r < 0.62:
+            return f"{h}.{m:02}S"
+        if r < 0.69:
+            return f"*{h}.{m:02}"
+        if r < 0.76:
+            return f"{h + 24}.{m:02}"
+        if r < 0.83:
+            return f"{h}:{m:02}"
+        if r < 0.90:
+            return str(h)
+        return f"{h}..{m:02}"
+
+    @classmethod
+    def _layout(cls, rng):
+        from pdf2gtfs_spark.kernel.payload import CHAR_W
+        cells = []
+        side_by_side = rng.random() < 0.35
+        n_blocks = 2 if side_by_side else rng.randint(1, 2)
+        y = 90.0
+        x_base = 40.0
+        for b in range(n_blocks):
+            scale = rng.choice([0.8, 1.0, 1.0, 1.2])
+            row_step = 10.0 * scale
+            if side_by_side:
+                x0 = x_base + b * 90 * CHAR_W
+                yb = 90.0
+            else:
+                x0 = x_base
+                yb = y
+            n_stops = rng.randint(4, 8)
+            n_trips = rng.randint(2, 4)
+            x_annot = x0 + 18 * CHAR_W * scale
+            xs = [x_annot + 4 * CHAR_W
+                  + k * 9 * CHAR_W * scale for k in range(n_trips)]
+            if rng.random() < 0.6:
+                cells.append((rng.choice(
+                    ["Sonntag", "Montag - Freitag", "Samstag"]),
+                    xs[0], yb, scale))
+            yb += row_step + 2
+            for s in range(n_stops):
+                yy = yb + s * row_step
+                nm = rng.choice(cls.NAME_POOL)
+                cells.append((nm, x0, yy, scale))
+                if rng.random() < 0.3:
+                    cells.append((rng.choice(["an", "ab"]),
+                                  x_annot, yy, scale))
+                for k, x in enumerate(xs):
+                    if rng.random() < 0.12:
+                        continue
+                    h, m = divmod((5 * 60 + 17 * k + 9 * s
+                                   + rng.randint(0, 2)) % 1020, 60)
+                    cells.append((cls._time_text(rng, h, m),
+                                  x, yy, scale))
+            yb += n_stops * row_step + 6
+            if not side_by_side:
+                y = yb + 24.0
+        # exact-duplicate cell (same text, same coords)
+        if cells and rng.random() < 0.3:
+            cells.append(cells[rng.randrange(len(cells))])
+        return cells
+
+    @staticmethod
+    def _payload_cid(cells, rng):
+        """V3's sized builder, but ~3% of chars are emitted as
+        '(cid:<ord>)' records (repaired to chr(ord) at decode) and a
+        rare unparseable '(cid:zz)' record (kept verbatim; the
+        reference drops such cells at table build — run_reference
+        mirrors the filter)."""
+        import pandas as pd
+
+        from pdf2gtfs_spark.kernel.payload import (
+            CHAR_COLUMNS, CHAR_H, CHAR_W, PageBox, encode_chars,
+        )
+        chars = []
+        for text, x0, y0, s in cells:
+            text = text.replace("{U}", "ü")
+            w, h = CHAR_W * s, CHAR_H * s
+            x = x0
+            for chx in text:
+                r = rng.random()
+                if r < 0.03:
+                    rec = f"(cid:{ord(chx)})"
+                elif r < 0.035:
+                    rec = "(cid:zz)"
+                else:
+                    rec = chx
+                chars.append((round(x, 2), round(y0, 2),
+                              round(x + w, 2), round(y0 + h, 2), rec))
+                x += w
+        df = pd.DataFrame(chars, columns=CHAR_COLUMNS)
+        page = PageBox(0, 0, float(df["x1"].max() + 40),
+                       float(df["y1"].max() + 40))
+        return encode_chars(page, df)
+
+    # CI sample; chosen after the offline 50000-50999 sweep (see
+    # ROADMAP round-5b) — seeds with at least one extracted table.
+    @pytest.mark.parametrize("seed", [50000, 50003, 50011, 50027,
+                                      50101, 50233, 50404, 50650])
+    def test_confusable_layout(self, seed, tmp_path):
+        import random
+        rng = random.Random(seed)
+        payload = self._payload_cid(self._layout(rng), rng)
+        assert_equivalent(payload_fields(payload), tmp_path,
+                          f"v4_{seed}", expect_tables=False)
+
+
 class TestLegacySurface:
     """Differential tests for the LEGACY extraction path: repo
     kernel/extract.py vs the reference legacy engine
@@ -609,7 +746,14 @@ class TestLegacySurface:
         for i, t in enumerate(tables):
             p = tmp_path / f"ref_legacy{i}.csv"
             t.to_file(p)
-            out.append((p.read_text(), ref_timetable(t)))
+            tt = ref_timetable(t)
+            # from_pdf_table always returns a TimeTable object, even a
+            # fully-empty one (no stops, every value-less entry deleted,
+            # table.py:58-75); the repo emits no records for it.  Both
+            # produce zero GTFS output — normalize to None.
+            if tt == ([], []):
+                tt = None
+            out.append((p.read_text(), tt))
         return out
 
     @staticmethod
@@ -621,15 +765,18 @@ class TestLegacySurface:
         for t in res.tables:
             sr = t.records("stops", ["stop_pos", "row_idx", "stop_name",
                                      "stop_annot", "is_connection"])
+            er = t.records(
+                "entries",
+                ["entry_id", "kind", "route_name", "annotations",
+                 "days", "repeat_intervals", "stop_pos",
+                 "stop_row_idx", "value"])
             tt = None
-            if sr:
+            # stop-less entries survive in BOTH engines (values collapse
+            # onto the None key, table.py:127 + stops.py:53-57), so a
+            # timetable exists whenever stops OR entries do
+            if sr or er:
                 stops = [(r["stop_name"], (r["stop_annot"] or "").strip(),
                           bool(r["is_connection"])) for r in sr]
-                er = t.records(
-                    "entries",
-                    ["entry_id", "kind", "route_name", "annotations",
-                     "days", "repeat_intervals", "stop_pos",
-                     "stop_row_idx", "value"])
                 by_entry = {}
                 for row in er:
                     by_entry.setdefault(row["entry_id"], []).append(row)
@@ -717,6 +864,41 @@ class TestLegacySurface:
         rng = random.Random(9023)
         payload = _payload(TestAdversarialLayouts._layout(rng))
         with pytest.raises(IndexError):
+            self._ref_legacy(payload, tmp_path)
+        assert self._repo_legacy(payload)      # repo handles it
+
+    @pytest.mark.parametrize("seed", [50000, 50011, 50039, 50101,
+                                      50281, 50308, 50315, 50488])
+    def test_v4_confusable_layout(self, seed, tmp_path):
+        """V4 family on the LEGACY surface (full 1000-seed sweep
+        offline, round 5c).  Seeds include the five that exposed the
+        column-ordered stop visibility quirks before they were
+        mirrored: values in columns LEFT of the stop column collapse
+        onto the None key (50039), a fully-empty reference TimeTable
+        equals no repo records (50011/50101/50281/50308), the
+        retroactive OTHER->STOP upgrade is invisible to the
+        multi-stop split decision, and stop annotations attach to the
+        FIRST visible stop of the row (50315/50488)."""
+        import random
+        rng = random.Random(seed)
+        payload = TestAdversarialLayoutsV4._payload_cid(
+            TestAdversarialLayoutsV4._layout(rng), rng)
+        self._assert_legacy_equivalent(payload, tmp_path,
+                                       f"legacy_v4_{seed}")
+
+    def test_reference_crashes_on_leading_annotation_column(
+            self, tmp_path):
+        """Documented divergence (v4 sweep seed 50214, 1/1000): when
+        the STOP_ANNOTATION column is the table's FIRST column, the
+        reference's lazy type detection dereferences the previous
+        column (container.py:297 `previous.has_type()`) which is None
+        -> AttributeError.  The repo's eager typing guards on i > 0
+        and extracts the table."""
+        import random
+        rng = random.Random(50214)
+        payload = TestAdversarialLayoutsV4._payload_cid(
+            TestAdversarialLayoutsV4._layout(rng), rng)
+        with pytest.raises(AttributeError):
             self._ref_legacy(payload, tmp_path)
         assert self._repo_legacy(payload)      # repo handles it
 

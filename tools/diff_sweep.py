@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Differential sweep driver: run an adversarial layout family over a
+seed range against the ACTUAL reference engine and tally outcomes.
+
+Previous rounds ran these sweeps ad-hoc; this makes them reproducible:
+
+    python tools/diff_sweep.py --family v4 --start 50000 --n 1000
+    python tools/diff_sweep.py --family v3 --surface legacy --n 300
+
+Outcome classes per seed:
+  equivalent   both engines agree on every compared surface
+  no_tables    neither engine produced a table (vacuous agreement)
+  divergent    engines disagree (REAL finding -> fix or mirror)
+  repo_crash   our kernel raised (REAL finding)
+  ref_crash    the reference itself raised; classified by the deepest
+               reference-side frame (known families are expected)
+
+Prints a JSON tally to stdout, one seed-list per class.
+"""
+
+import argparse
+import collections
+import json
+import multiprocessing as mp
+import os
+import random
+import sys
+import tempfile
+import traceback
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO))
+sys.path.insert(0, str(_REPO / "tests"))
+
+_mod = None          # test_ref_differential, imported per worker
+
+
+def _init():
+    global _mod
+    import test_ref_differential as mod
+    _mod = mod
+
+
+def _fields_for(family: str, seed: int):
+    rng = random.Random(seed)
+    if family == "v2":
+        from test_newpath import _payload
+        cls = _mod.TestAdversarialLayouts
+        payload = _payload(cls._layout(rng))
+    elif family == "v3":
+        cls = _mod.TestAdversarialLayoutsV3
+        payload = cls._payload_sized(cls._layout(rng))
+    elif family == "v4":
+        cls = _mod.TestAdversarialLayoutsV4
+        payload = cls._payload_cid(cls._layout(rng), rng)
+    else:
+        raise SystemExit(f"unknown family {family!r}")
+    return payload
+
+
+def _ref_site(exc) -> str:
+    """Deepest reference-side frame of the traceback, 'file.py:line'."""
+    site = "unknown"
+    for fr in traceback.extract_tb(exc.__traceback__):
+        if "/reference/" in fr.filename:
+            site = f"{os.path.basename(fr.filename)}:{fr.lineno}"
+    return site
+
+
+def _run_newpath(family: str, seed: int):
+    payload = _fields_for(family, seed)
+    fields = _mod.payload_fields(payload)
+    try:
+        repo_tables = _mod.tables_from_fields(fields, _mod.NEW_CFG)
+    except Exception as e:                                  # noqa: BLE001
+        return ("repo_crash", f"{type(e).__name__}: {e}")
+    try:
+        ref_tables = _mod.run_reference(fields)
+    except Exception as e:                                  # noqa: BLE001
+        return ("ref_crash", _ref_site(e))
+    if not repo_tables and not ref_tables:
+        return ("no_tables", "")
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            _mod.assert_equivalent(fields, Path(td), f"{family}_{seed}",
+                                   expect_tables=False)
+        except AssertionError as e:
+            return ("divergent", str(e)[:400])
+        except Exception as e:                              # noqa: BLE001
+            # assert_equivalent re-runs the reference (to_timetable /
+            # to_file stages run only here) — classify crash side
+            for fr in traceback.extract_tb(e.__traceback__):
+                if "/reference/" in fr.filename:
+                    return ("ref_crash", _ref_site(e))
+            return ("repo_crash", f"{type(e).__name__}: {e}")
+    return ("equivalent", "")
+
+
+def _run_legacy(family: str, seed: int):
+    payload = _fields_for(family, seed)
+    cls = _mod.TestLegacySurface
+    try:
+        repo = cls._repo_legacy(payload)
+    except Exception as e:                                  # noqa: BLE001
+        return ("repo_crash", f"{type(e).__name__}: {e}")
+    with tempfile.TemporaryDirectory() as td:
+        try:
+            ref = cls._ref_legacy(payload, Path(td))
+        except Exception as e:                              # noqa: BLE001
+            return ("ref_crash", _ref_site(e))
+    if not repo and not ref:
+        return ("no_tables", "")
+    if len(repo) != len(ref):
+        return ("divergent", f"table count {len(repo)} != {len(ref)}")
+    for k, (a, b) in enumerate(zip(repo, ref)):
+        if a != b:
+            return ("divergent", f"table {k}: repo={a!r:.200} "
+                                 f"ref={b!r:.200}")
+    return ("equivalent", "")
+
+
+def _one(task):
+    family, surface, seed = task
+    try:
+        if surface == "legacy":
+            cls, detail = _run_legacy(family, seed)
+        else:
+            cls, detail = _run_newpath(family, seed)
+    except Exception as e:                                  # noqa: BLE001
+        cls, detail = "harness_error", f"{type(e).__name__}: {e}"
+    return seed, cls, detail
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", default="v4", choices=["v2", "v3", "v4"])
+    ap.add_argument("--surface", default="newpath",
+                    choices=["newpath", "legacy"])
+    ap.add_argument("--start", type=int, default=50000)
+    ap.add_argument("--n", type=int, default=1000)
+    ap.add_argument("--workers", type=int,
+                    default=min(16, os.cpu_count() or 4))
+    ap.add_argument("--details", action="store_true",
+                    help="print per-seed detail for non-equivalent")
+    args = ap.parse_args()
+
+    tasks = [(args.family, args.surface, s)
+             for s in range(args.start, args.start + args.n)]
+    tally = collections.Counter()
+    seeds = collections.defaultdict(list)
+    details = {}
+    with mp.Pool(args.workers, initializer=_init) as pool:
+        for seed, cls, detail in pool.imap_unordered(_one, tasks,
+                                                     chunksize=8):
+            tally[cls] += 1
+            if cls not in ("equivalent", "no_tables"):
+                seeds[cls].append(seed)
+                details[seed] = detail
+    if "ref_crash" in seeds:
+        site_tally = collections.Counter(
+            details[s] for s in seeds["ref_crash"])
+    else:
+        site_tally = {}
+    out = {
+        "family": args.family, "surface": args.surface,
+        "range": [args.start, args.start + args.n],
+        "tally": dict(tally),
+        "ref_crash_sites": dict(site_tally),
+        "seeds": {k: sorted(v)[:50] for k, v in seeds.items()},
+    }
+    if args.details:
+        out["details"] = {str(s): details[s]
+                          for k in ("divergent", "repo_crash",
+                                    "harness_error")
+                          for s in sorted(seeds.get(k, []))[:20]}
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
