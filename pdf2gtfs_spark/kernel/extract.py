@@ -952,31 +952,63 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
 
     # reference quirk (entries.py:26-55, stops.py:16-21): entry.values
     # is a dict keyed by Stop objects whose __eq__/__hash__ is
-    # (name, annotation), so duplicate-named stops COLLAPSE per entry —
-    # the first-inserted key's row id is retained, the last value wins,
-    # and all stop-less rows share the single None key.  Mirrored by
-    # keying each entry's values on (stop_name, stop_annot).
-    per_entry: dict[int, tuple[dict, dict]] = {}
+    # (name, annotation) — evaluated AT INSERT TIME.  Duplicate-named
+    # stops collapse per entry (first-inserted key's row id retained,
+    # last value wins) and stop-less rows share the single None key.
+    # BUT a STOP_ANNOTATION column processed after a value column
+    # mutates the Stop's annotation without rehashing the dict, so two
+    # Stops that END UP equal stay distinct if their keys differed when
+    # inserted (sweep v4 seeds 65052/64691).  Mirror: walk the cells in
+    # column order (the reference's process_raw_column order,
+    # timetable/table.py:108-127), evolve each stop's annotation as
+    # STOP_ANNOTATION cells are reached, and simulate the dict slots —
+    # a new key matches a slot iff the slot's STORED key string equals
+    # it and the slot's stop still agrees (identity or current-state
+    # equality), else a fresh slot is appended.
+    per_entry: dict[int, tuple[dict, list]] = {}
     visible_cache: dict[int, dict[int, int]] = {}
-    for i in np.flatnonzero(value_mask):
-        cid = cells.col_id[i]
-        mrow = meta.get(cid)
-        if mrow is None:
-            continue
-        r = int(row_idx[i])
+
+    def _visible(cid: int) -> dict[int, int]:
         vis = visible_cache.get(cid)
         if vis is None:
             vis = visible_cache[cid] = _rows_visible_from(col_pos[cid])
-        p = vis.get(r)
-        key = ((stop_names[p], stops_records[p]["stop_annot"])
+        return vis
+
+    walk_annot = [""] * len(stop_names)
+    for i in range(n):                  # cells are in (col, y0) order
+        cid = cells.col_id[i]
+        r = int(row_idx[i])
+        if annot_mask[i]:
+            p = _visible(cid).get(r)
+            if p is not None:
+                walk_annot[p] = cells.text[i]
+            continue
+        if not value_mask[i]:
+            continue
+        mrow = meta.get(cid)
+        if mrow is None:
+            continue
+        p = _visible(cid).get(r)
+        key = (f"{stop_names[p]} {walk_annot[p]}"
                if p is not None else None)
-        _, vals = per_entry.setdefault(mrow["entry_id"], (mrow, {}))
-        prev = vals.get(key)
-        vals[key] = ((r, p) if prev is None else prev[0], cells.text[i])
+        _, slots = per_entry.setdefault(mrow["entry_id"], (mrow, []))
+        for slot in slots:
+            # dict probe: stored hash matches the new key, then the
+            # stored Stop compares equal (same object, or same
+            # (name, annotation) in its CURRENT state)
+            if slot[0] == key and (
+                    slot[1] == p
+                    or (slot[1] is not None and p is not None
+                        and f"{stop_names[slot[1]]} "
+                            f"{walk_annot[slot[1]]}" == key)):
+                slot[3] = cells.text[i]
+                break
+        else:
+            slots.append([key, p, r, cells.text[i]])
     entries_records = []
     for e_id in sorted(per_entry):
-        mrow, vals = per_entry[e_id]
-        for (r, p), text in vals.values():
+        mrow, slots = per_entry[e_id]
+        for _, p, r, text in slots:
             entries_records.append({
                 "table_id": table_id, **mrow,
                 "stop_pos": p, "stop_row_idx": r,

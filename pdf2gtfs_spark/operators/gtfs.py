@@ -395,9 +395,15 @@ def service_day_offsets(entries: DataFrame, stop_times: DataFrame,
                 prev = None
             delta0 = 3600 * offset
             flag = False
-            if prev is not None:
+            if prev is not None and prev[0]:
+                # an EMPTY previous StopTimes (every stop a connection)
+                # is FALSY (BaseContainer.__len__, gtfs_output/
+                # __init__.py:141), so `previous and previous > current`
+                # (handler.py:173) short-circuits and the rollover is
+                # DISABLED for the next entry — even though a fired
+                # comparison would return True (GTFS sweep seed 70000)
                 p_order, p_arr, p_shift = prev
-                # empty/disjoint stop sets -> __lt__ exhausts -> False
+                # disjoint stop sets -> __lt__ exhausts -> False
                 # -> __gt__ True -> the shift fires
                 common = next((s for s in p_order if s in arr), None)
                 if common is None:
@@ -753,6 +759,11 @@ WITH RECURSIVE base AS (
    AND p.table_id = n.table_id AND p.nm = n.nm
    AND p.trip_id <> n.trip_id
   GROUP BY p.trip_id, n.trip_id
+), ne0 AS (
+  -- trips with at least one emitted (non-connection) stop time: an
+  -- EMPTY previous StopTimes is falsy, so the rollover comparison
+  -- never fires after it (handler.py:173, BaseContainer.__len__)
+  SELECT DISTINCT trip_id FROM e
 ), ord AS (
   SELECT DISTINCT conv_id, turn_idx, table_id, entry_id, kind, repeat_ok
   FROM base
@@ -786,7 +797,7 @@ WITH RECURSIVE base AS (
               + CASE WHEN (CASE WHEN s.days_key <> w.prev_days
                                 THEN NULL ELSE w.prev_trip END)
                           IS NOT NULL
-                      AND (pr.ptrip IS NULL
+                      AND ne.trip_id IS NOT NULL AND (pr.ptrip IS NULL
                            OR NOT (pr.p_arr + w.prev_shift
                                    < pr.n_arr
                                    + 3600 * (CASE WHEN s.days_key
@@ -797,7 +808,7 @@ WITH RECURSIVE base AS (
          (CASE WHEN s.days_key <> w.prev_days THEN 0 ELSE w.offs END)
          + CASE WHEN (CASE WHEN s.days_key <> w.prev_days
                            THEN NULL ELSE w.prev_trip END) IS NOT NULL
-                 AND (pr.ptrip IS NULL
+                 AND ne.trip_id IS NOT NULL AND (pr.ptrip IS NULL
                       OR NOT (pr.p_arr + w.prev_shift
                               < pr.n_arr
                               + 3600 * (CASE WHEN s.days_key
@@ -814,7 +825,7 @@ WITH RECURSIVE base AS (
                    + CASE WHEN (CASE WHEN s.days_key <> w.prev_days
                                      THEN NULL
                                      ELSE w.prev_trip END) IS NOT NULL
-                           AND (pr.ptrip IS NULL
+                           AND ne.trip_id IS NOT NULL AND (pr.ptrip IS NULL
                                 OR NOT (pr.p_arr + w.prev_shift
                                         < pr.n_arr
                                         + 3600 * (CASE WHEN s.days_key
@@ -830,6 +841,8 @@ WITH RECURSIVE base AS (
   LEFT JOIN pairs pr ON pr.ptrip = (CASE WHEN s.days_key <> w.prev_days
                                          THEN NULL ELSE w.prev_trip END)
                     AND pr.ntrip = s.trip_id
+  LEFT JOIN ne0 ne ON ne.trip_id = (CASE WHEN s.days_key <> w.prev_days
+                                         THEN NULL ELSE w.prev_trip END)
 )
 SELECT trip_id, shift AS shift_seconds FROM walk ORDER BY trip_id
 """

@@ -868,17 +868,21 @@ class TestLegacySurface:
         assert self._repo_legacy(payload)      # repo handles it
 
     @pytest.mark.parametrize("seed", [50000, 50011, 50039, 50101,
-                                      50281, 50308, 50315, 50488])
+                                      50281, 50308, 50315, 50488,
+                                      64691, 65052])
     def test_v4_confusable_layout(self, seed, tmp_path):
-        """V4 family on the LEGACY surface (full 1000-seed sweep
-        offline, round 5c).  Seeds include the five that exposed the
+        """V4 family on the LEGACY surface (3000-seed sweep offline,
+        round 5c).  Seeds include the seven that exposed the
         column-ordered stop visibility quirks before they were
         mirrored: values in columns LEFT of the stop column collapse
         onto the None key (50039), a fully-empty reference TimeTable
         equals no repo records (50011/50101/50281/50308), the
         retroactive OTHER->STOP upgrade is invisible to the
-        multi-stop split decision, and stop annotations attach to the
-        FIRST visible stop of the row (50315/50488)."""
+        multi-stop split decision, stop annotations attach to the
+        FIRST visible stop of the row (50315/50488), and
+        entry.values keys hash (name, annotation) AT INSERT TIME so
+        later annotation mutations leave stale dict slots
+        (64691/65052)."""
         import random
         rng = random.Random(seed)
         payload = TestAdversarialLayoutsV4._payload_cid(
@@ -1019,6 +1023,29 @@ class TestRound4SweepFindings:
         repo_tables = tables_from_fields(fields, NEW_CFG)
         assert len(repo_tables) == len(ref_tables)
         with pytest.raises(AttributeError):
+            for t in ref_tables:
+                ref_timetable(t)
+        assert any(repo_timetable(t) is not None for t in repo_tables)
+
+    @pytest.mark.parametrize("seed", [9304, 9558])
+    def test_reference_crashes_on_typed_ragged_overhang(self, seed):
+        """Documented divergence (v2 sweep seeds 9304/9558, 2/700):
+        to_timetable sizes its entries list from the FIRST row
+        (table.py:694 `for _ in self.left.iter(o=o.normal)`), but a
+        ragged row (the replace_cell/set_neighbor tail quirk, see
+        TestRaggedTailQuirk) can be longer; a typed cell in the
+        overhang indexes entries[e_id] out of range (IndexError at
+        table.py:648/655).  The repo's to_timetable drops tail cells
+        beyond the entry grid and extracts the table."""
+        import random
+        from test_newpath import _payload
+        rng = random.Random(seed)
+        fields = payload_fields(
+            _payload(TestAdversarialLayouts._layout(rng)))
+        ref_tables = run_reference(fields)
+        repo_tables = tables_from_fields(fields, NEW_CFG)
+        assert len(repo_tables) == len(ref_tables)
+        with pytest.raises(IndexError):
             for t in ref_tables:
                 ref_timetable(t)
         assert any(repo_timetable(t) is not None for t in repo_tables)

@@ -222,11 +222,16 @@ class TestServiceDayOffsets:
 
 class TestSyntheticFeeds:
     @pytest.mark.parametrize("seed", [9003, 9007, 9013, 1000, 1003,
-                                      5000, 5001])
+                                      5000, 5001, 70000])
     def test_layout_feed(self, spark, seed, request):
-        """Sample of the offline 75-layout GTFS sweep: multi-block
-        pages (stop-key collapse), repeat columns (expand_repeats vs
-        add_repeat), footer days, sparse columns."""
+        """Sample of the offline GTFS sweeps: multi-block pages
+        (stop-key collapse), repeat columns (expand_repeats vs
+        add_repeat), footer days, sparse columns.  Seed 70000 (round
+        5c) pinned the falsy-empty-previous rule: an entry whose every
+        stop is a connection produces an EMPTY StopTimes, and
+        `previous and previous > current` (handler.py:173) then
+        short-circuits, disabling the +24h rollover for the next
+        entry."""
         import random
 
         from test_newpath import _payload

@@ -120,11 +120,57 @@ def _run_legacy(family: str, seed: int):
     return ("equivalent", "")
 
 
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from pyspark.sql import SparkSession
+        _spark = (SparkSession.builder.master("local[8]")
+                  .appName("diff-sweep-gtfs")
+                  .config("spark.driver.host", "127.0.0.1")
+                  .config("spark.driver.bindAddress", "127.0.0.1")
+                  .config("spark.sql.shuffle.partitions", "8")
+                  .config("spark.sql.execution.arrow.pyspark.enabled",
+                          "true")
+                  .config("spark.ui.enabled", "false")
+                  .getOrCreate())
+    return _spark
+
+
+def _run_gtfs(family: str, seed: int):
+    """Full-feed surface: payload -> extraction -> GTFS feed, both
+    engines, id-free normalized compare (test_ref_gtfs_differential).
+    Runs sequentially in-process (needs a SparkSession)."""
+    import test_ref_gtfs_differential as gmod
+    payload = _fields_for(family, seed)
+    try:
+        rf = gmod.ref_feed(payload)
+    except Exception as e:                                  # noqa: BLE001
+        return ("ref_crash", _ref_site(e))
+    try:
+        mf = gmod.repo_feed(payload, _get_spark())
+    except Exception as e:                                  # noqa: BLE001
+        return ("repo_crash", f"{type(e).__name__}: {e}")
+    if all(not rf[s] for s in rf) and all(not mf[s] for s in mf):
+        return ("no_tables", "")
+    for surface_name in ("stops", "routes", "calendar", "trips",
+                         "calendar_dates"):
+        if rf[surface_name] != mf[surface_name]:
+            return ("divergent",
+                    f"{surface_name}: repo={mf[surface_name]!r:.200} "
+                    f"ref={rf[surface_name]!r:.200}")
+    return ("equivalent", "")
+
+
 def _one(task):
     family, surface, seed = task
     try:
         if surface == "legacy":
             cls, detail = _run_legacy(family, seed)
+        elif surface == "gtfs":
+            cls, detail = _run_gtfs(family, seed)
         else:
             cls, detail = _run_newpath(family, seed)
     except Exception as e:                                  # noqa: BLE001
@@ -136,7 +182,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--family", default="v4", choices=["v2", "v3", "v4"])
     ap.add_argument("--surface", default="newpath",
-                    choices=["newpath", "legacy"])
+                    choices=["newpath", "legacy", "gtfs"])
     ap.add_argument("--start", type=int, default=50000)
     ap.add_argument("--n", type=int, default=1000)
     ap.add_argument("--workers", type=int,
@@ -150,13 +196,20 @@ def main() -> None:
     tally = collections.Counter()
     seeds = collections.defaultdict(list)
     details = {}
-    with mp.Pool(args.workers, initializer=_init) as pool:
-        for seed, cls, detail in pool.imap_unordered(_one, tasks,
-                                                     chunksize=8):
-            tally[cls] += 1
-            if cls not in ("equivalent", "no_tables"):
-                seeds[cls].append(seed)
-                details[seed] = detail
+    if args.surface == "gtfs":          # Spark session: sequential
+        _init()
+        results = map(_one, tasks)
+    else:
+        pool = mp.Pool(args.workers, initializer=_init)
+        results = pool.imap_unordered(_one, tasks, chunksize=8)
+    for seed, cls, detail in results:
+        tally[cls] += 1
+        if cls not in ("equivalent", "no_tables"):
+            seeds[cls].append(seed)
+            details[seed] = detail
+    if args.surface != "gtfs":
+        pool.close()
+        pool.join()
     if "ref_crash" in seeds:
         site_tally = collections.Counter(
             details[s] for s in seeds["ref_crash"])
