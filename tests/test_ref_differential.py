@@ -711,6 +711,139 @@ class TestAdversarialLayoutsV4:
                           f"v4_{seed}", expect_tables=False)
 
 
+class TestAdversarialLayoutsV5:
+    """Fifth-generation family (round 5c): repeat-column and
+    route-info semantics V1-V4 never combined —
+
+    * repeat columns with varied interval grammars: stacked
+      ('alle'/'15'/'Min.'), single-cell ('alle 15 Min.'), range
+      ('alle 10-12 Min.'), comma list ('alle 10,20 Min'), and
+      CONFLICTING intervals in one column (the reference's intervals
+      setter bails, entries.py:76-84);
+    * route-info rows (Linie / Zugnummer codes per trip column);
+    * footer AND mid-table days rows in the same block;
+    * minimum-size tables (exactly 3 stops, find_stops' cutoff);
+    * V4's keyword-confusable stop names.
+    """
+
+    @classmethod
+    def _layout(cls, rng):
+        from pdf2gtfs_spark.kernel.payload import CHAR_W
+        cells = []
+        y = 90.0
+        for _ in range(rng.randint(1, 2)):
+            n_stops = rng.choice([3, 3, 4, 6, 8])
+            n_trips = rng.randint(2, 5)
+            x_stops = 40.0
+            x_annot = x_stops + 20 * CHAR_W
+            xs = [x_annot + 4 * CHAR_W + k * 12 * CHAR_W
+                  for k in range(n_trips)]
+            if rng.random() < 0.5:          # route-info row
+                cells.append((rng.choice(["Linie", "Zugnummer"]),
+                              x_stops, y))
+                for k, x in enumerate(xs):
+                    if rng.random() < 0.85:
+                        cells.append(
+                            (rng.choice([f"S{k + 1}", f"RB {10 + k}",
+                                         f"{700 + k}"]), x, y))
+                y += 10
+            if rng.random() < 0.7:          # header days
+                cells.append((rng.choice(
+                    ["Sonntag", "Samstag", "Montag - Freitag"]),
+                    xs[0], y))
+            y += 12
+            mid_days = (rng.randrange(1, n_stops)
+                        if rng.random() < 0.25 else None)
+            for s in range(n_stops):
+                yy = y + s * 10.0
+                if s == mid_days:
+                    cells.append((rng.choice(["Sonntag", "Samstag"]),
+                                  xs[0], yy))
+                    continue
+                nm = rng.choice(TestAdversarialLayoutsV4.NAME_POOL)
+                cells.append((nm.replace("{U}", "ü"), x_stops, yy))
+                if rng.random() < 0.3:
+                    cells.append((rng.choice(["an", "ab"]),
+                                  x_annot, yy))
+                for k, x in enumerate(xs):
+                    if rng.random() < 0.12:
+                        continue
+                    h, m = divmod((5 * 60 + 23 * k + 8 * s
+                                   + rng.randint(0, 2)) % 1260, 60)
+                    cells.append((f"{h}.{m:02}", x, yy))
+            # repeat column between two trip columns
+            if n_trips >= 2 and rng.random() < 0.7:
+                x_rep = xs[rng.randint(0, n_trips - 2)] + 6 * CHAR_W
+                y_rep = y + 10.0 * rng.randint(0, max(0, n_stops - 3))
+                style = rng.random()
+                if style < 0.35:            # stacked 3 cells
+                    iv = str(rng.randint(5, 30))
+                    for wi, w in enumerate(["alle", iv, "Min."]):
+                        cells.append((w, x_rep, y_rep + wi * 10.0))
+                elif style < 0.6:           # single cell
+                    cells.append((f"alle {rng.randint(5, 30)} Min.",
+                                  x_rep, y_rep))
+                elif style < 0.75:          # range interval
+                    a = rng.randint(5, 15)
+                    cells.append((f"alle {a}-{a + rng.randint(1, 5)}"
+                                  f" Min.", x_rep, y_rep))
+                elif style < 0.9:           # comma list
+                    cells.append((f"alle {rng.randint(5, 15)},"
+                                  f"{rng.randint(16, 30)} Min",
+                                  x_rep, y_rep))
+                else:                       # conflicting intervals
+                    cells.append((f"alle {rng.randint(5, 15)} Min.",
+                                  x_rep, y_rep))
+                    cells.append((f"alle {rng.randint(16, 30)} Min.",
+                                  x_rep, y_rep + 10.0))
+            if rng.random() < 0.4:          # footer days
+                cells.append((rng.choice(["Sonntag", "Feiertag"]),
+                              xs[0], y + n_stops * 10.0 + 4.0))
+            y += n_stops * 10.0 + 30.0
+        return cells
+
+    # CI sample from the offline 80000-80999 sweep (round 5c)
+    @pytest.mark.parametrize("seed", [80000, 80001, 80004, 80013,
+                                      80107, 80250, 80404, 80777])
+    def test_repeat_routeinfo_layout(self, seed, tmp_path):
+        import random
+        from test_newpath import _payload
+        rng = random.Random(seed)
+        assert_equivalent(payload_fields(_payload(self._layout(rng))),
+                          tmp_path, f"v5_{seed}", expect_tables=False)
+
+    @pytest.mark.parametrize("seed,exc", [
+        # remove_duplicate_days passes an ORIENTATION positionally to
+        # Cell.iter (table.py:843 `ref_days[0].iter(o.normal)`), whose
+        # first parameter is a DIRECTION -> `d.opposite` AttributeError
+        # at cell.py:204 whenever a table has multiple days rows and a
+        # non-empty ref-days comparison (65/1000 v5 seeds)
+        (80008, AttributeError),
+        # same path with an empty ref-days row list -> IndexError at
+        # table.py:843 (23/1000)
+        (80048, IndexError),
+        # insert() neighbor-containment assertion (table.py:183) fails
+        # when insert_repeat_cells (table.py:351) inserts a repeat
+        # series whose cells kept outside neighbors (16/1000)
+        (80080, AssertionError),
+    ])
+    def test_reference_crashes_on_days_and_repeat_paths(
+            self, seed, exc, tmp_path):
+        """Documented divergences (v5 sweep): three reference crash
+        families in the multiple-days-row selection and repeat-series
+        insertion; the repo extracts these layouts.  882/1000 v5
+        seeds are fully equivalent and 0 diverge."""
+        import random
+        from test_newpath import _payload
+        rng = random.Random(seed)
+        fields = payload_fields(_payload(self._layout(rng)))
+        repo_tables = tables_from_fields(fields, NEW_CFG)
+        assert repo_tables, "repo must extract this layout"
+        with pytest.raises(exc):
+            for t in run_reference(fields):
+                ref_timetable(t)
+
+
 class TestLegacySurface:
     """Differential tests for the LEGACY extraction path: repo
     kernel/extract.py vs the reference legacy engine

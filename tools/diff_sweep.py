@@ -54,6 +54,10 @@ def _fields_for(family: str, seed: int):
     elif family == "v4":
         cls = _mod.TestAdversarialLayoutsV4
         payload = cls._payload_cid(cls._layout(rng), rng)
+    elif family == "v5":
+        from test_newpath import _payload
+        cls = _mod.TestAdversarialLayoutsV5
+        payload = _payload(cls._layout(rng))
     else:
         raise SystemExit(f"unknown family {family!r}")
     return payload
@@ -164,6 +168,39 @@ def _run_gtfs(family: str, seed: int):
     return ("equivalent", "")
 
 
+def _run_route(family: str, seed: int):
+    """Route-location surface: payload -> feed -> per-route Dijkstra
+    search -> select_best + interpolation, vs the reference locate
+    package on the same synthetic OSM table.  Sequential (Spark)."""
+    import test_ref_route_differential as rmod
+    payload = _fields_for(family, seed)
+    try:
+        ref_handles = rmod.load_reference_gtfs()
+        stop_names = rmod._stop_names_for(payload, ref_handles)
+    except Exception as e:                                  # noqa: BLE001
+        return ("ref_crash", _ref_site(e))
+    if not stop_names:
+        return ("no_tables", "")
+    raw = rmod.synthetic_osm(stop_names, seed=seed)
+    try:
+        ref = rmod.ref_locate(payload, raw.copy())
+    except Exception as e:                                  # noqa: BLE001
+        return ("ref_crash", _ref_site(e))
+    try:
+        ref2 = rmod.assert_locate_equivalent(
+            payload, raw.copy(), _get_spark(), f"{family}_{seed}")
+    except AssertionError as e:
+        return ("divergent", str(e)[:400])
+    except Exception as e:                                  # noqa: BLE001
+        for fr in traceback.extract_tb(e.__traceback__):
+            if "/reference/" in fr.filename:
+                return ("ref_crash", _ref_site(e))
+        return ("repo_crash", f"{type(e).__name__}: {e}")
+    if not ref and not ref2:
+        return ("no_tables", "")
+    return ("equivalent", "")
+
+
 def _one(task):
     family, surface, seed = task
     try:
@@ -171,6 +208,8 @@ def _one(task):
             cls, detail = _run_legacy(family, seed)
         elif surface == "gtfs":
             cls, detail = _run_gtfs(family, seed)
+        elif surface == "route":
+            cls, detail = _run_route(family, seed)
         else:
             cls, detail = _run_newpath(family, seed)
     except Exception as e:                                  # noqa: BLE001
@@ -180,9 +219,10 @@ def _one(task):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--family", default="v4", choices=["v2", "v3", "v4"])
+    ap.add_argument("--family", default="v4",
+                    choices=["v2", "v3", "v4", "v5"])
     ap.add_argument("--surface", default="newpath",
-                    choices=["newpath", "legacy", "gtfs"])
+                    choices=["newpath", "legacy", "gtfs", "route"])
     ap.add_argument("--start", type=int, default=50000)
     ap.add_argument("--n", type=int, default=1000)
     ap.add_argument("--workers", type=int,
@@ -196,7 +236,7 @@ def main() -> None:
     tally = collections.Counter()
     seeds = collections.defaultdict(list)
     details = {}
-    if args.surface == "gtfs":          # Spark session: sequential
+    if args.surface in ("gtfs", "route"):   # Spark: sequential
         _init()
         results = map(_one, tasks)
     else:
@@ -207,7 +247,7 @@ def main() -> None:
         if cls not in ("equivalent", "no_tables"):
             seeds[cls].append(seed)
             details[seed] = detail
-    if args.surface != "gtfs":
+    if args.surface not in ("gtfs", "route"):
         pool.close()
         pool.join()
     if "ref_crash" in seeds:
