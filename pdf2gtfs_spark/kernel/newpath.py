@@ -113,16 +113,26 @@ class Typer:
         store_strict[has_inf] = inferred[has_inf]
         self.strict = store_strict[idx]
         self.empty = np.asarray(s.is_empty, dtype=bool)[idx]
+        # padding cells that do not exist in the reference's cell
+        # chains (merge-quirk shadow/short padding): excluded from
+        # counts, series masks, direct-neighbor lookups and the sweep
+        if g.absent_cells:
+            self.absent = np.isin(
+                idx, np.fromiter(g.absent_cells, dtype=np.int64))
+        else:
+            self.absent = np.zeros((R, C), dtype=bool)
         # O(1) series-type lookups: per-row/col strict-type counts,
         # kept incrementally up to date by _set_strict during sweeps.
         # One flattened bincount per axis instead of R+C small ones.
+        # Absent padding is diverted to a scratch bucket and dropped.
         nt = ct.N_TYPES
+        strict_cnt = np.where(self.absent, nt, self.strict)
         self._rc = np.bincount(
-            (self.strict + np.arange(R)[:, None] * nt).ravel(),
-            minlength=R * nt).reshape(R, nt)
+            (strict_cnt + np.arange(R)[:, None] * (nt + 1)).ravel(),
+            minlength=R * (nt + 1)).reshape(R, nt + 1)[:, :nt]
         self._cc = np.bincount(
-            (self.strict + np.arange(C)[None, :] * nt).ravel(),
-            minlength=C * nt).reshape(C, nt)
+            (strict_cnt + np.arange(C)[None, :] * (nt + 1)).ravel(),
+            minlength=C * (nt + 1)).reshape(C, nt + 1)[:, :nt]
         # per-cell bbox cache; EmptyCell bboxes derive from the col
         # x-stripe + row y-stripe (store coords are NaN at empties, so
         # nanmin/nanmax ARE the stripe unions); geometry is static
@@ -185,6 +195,7 @@ class Typer:
         # path; _set_strict keeps the strict mirror in sync.
         self._P_py = Pm.tolist()                # store-level rows
         self._strict_l = self.strict.tolist()   # (R, C)
+        self._absent_l = self.absent.tolist()   # (R, C)
         self._memb_l = self.memb.tolist()       # (R, C, N_TYPES)
         self._fne_l = self._fne.tolist()        # (R, C, 4)
         # series-level results depend only on static state + which
@@ -214,7 +225,8 @@ class Typer:
     def direct(self, r: int, c: int, d: int) -> Optional[tuple]:
         dr, dc = _STEP[d]
         nr, nc = r + dr, c + dc
-        if 0 <= nr < self.g.n_rows and 0 <= nc < self.g.n_cols:
+        if 0 <= nr < self.g.n_rows and 0 <= nc < self.g.n_cols \
+                and not self._absent_l[nr][nc]:
             return nr, nc
         return None
 
@@ -286,6 +298,8 @@ class Typer:
             return hit[1]
         need = 2 if neighbor_type is not None else 1
         mask = self._time_mask(o)
+        mask = mask & ~(self.absent[r, :] if o == H
+                        else self.absent[:, c])
         if o == H:
             emp = self.empty[r, :]
             ne = mask & ~emp
@@ -327,6 +341,8 @@ class Typer:
         if hit is not None and hit[0] == self._ver:
             return hit[1]
         mask = self._time_mask(o)
+        mask = mask & ~(self.absent[r, :] if o == H
+                        else self.absent[:, c])
         if o == H:
             coords = self.bbox_arr[r, mask, 1]
         else:
@@ -583,10 +599,12 @@ class Typer:
 
     def infer_all(self) -> None:
         """Column-major sweep; each cell sees earlier cells' inferred
-        types (order-dependence is reference behavior)."""
+        types (order-dependence is reference behavior).  Absent
+        padding is not a cell — the reference never visits it."""
         for c in range(self.g.n_cols):
             for r in range(self.g.n_rows):
-                self.infer_cell(r, c)
+                if not self._absent_l[r][c]:
+                    self.infer_cell(r, c)
 
 
 # type-indexed REL dispatch (list index beats dict hash in the sweep)
@@ -601,7 +619,10 @@ def find_stops(ty: Typer) -> tuple[int, list[tuple[int, tuple]]]:
     g = ty.g
 
     def _find(o: int) -> list[tuple]:
-        outer = g.n_cols if o == V else g.n_rows
+        # the H scan starts from the left COLUMN (enumerated rows
+        # only); the V series walk down a column INCLUDES shadow rows
+        # (reference _find_stops walks links, table.py:713-733)
+        outer = g.n_cols if o == V else g.n_enum_rows
         for k in range(outer):
             series = ([(r, (r, k)) for r in range(g.n_rows)] if o == V
                       else [(c, (k, c)) for c in range(g.n_cols)])
@@ -763,9 +784,9 @@ class TypedTable:
         g, s, ty = self.grid, self.grid.store, self.typer
         bad = (OTHER, LEGEND_IDENT, LEGEND_VALUE)
         lines = []
-        for r in range(g.n_rows):
+        for r in range(g.n_enum_rows):
             texts = []
-            for c in range(g.n_cols):
+            for c in range(g.short_rows.get(r, g.n_cols)):
                 if ty.strict[r, c] in bad:
                     texts.append("")
                     continue
@@ -796,14 +817,19 @@ class TypedTable:
         pos_of_series = {k: p for p, k in enumerate(stop_rows)}
         annots_of_stop: dict[int, str] = {}
 
-        n_entries = g.n_cols if o == V else g.n_rows
+        # entries are sized from the first row / left column —
+        # ENUMERATED rows only (table.py:694); the stop-axis walk also
+        # starts from the left column, so shadow rows are never read
+        # here (reference typed-shadow reads crash instead,
+        # table.py:648/655)
+        n_entries = g.n_cols if o == V else g.n_enum_rows
         entries = [{
-            "kind": None, "values": {}, "days": [], "days_text": "",
+            "kind": None, "values": [], "days": [], "days_text": "",
             "annotations": set(), "route_name": "", "repeat_texts": [],
         } for _ in range(n_entries)]
         valid = set()
 
-        outer = g.n_rows if o == V else g.n_cols
+        outer = g.n_enum_rows if o == V else g.n_cols
         for k in range(outer):           # stop axis position
             for e_id in range(n_entries):
                 r, c = (k, e_id) if o == V else (e_id, k)
@@ -813,19 +839,31 @@ class TypedTable:
                 if t == TIME:
                     # reference quirk (entries.py:26-55): entry.values
                     # is keyed by Stop objects whose __eq__/__hash__ is
-                    # (name, annotation) — duplicate-named stops
-                    # COLLAPSE, last value wins, the first key's row id
-                    # is retained. Mirrored as a (name, annot-at-insert)
-                    # key; non-stop rows share the single None key.
+                    # (name, annotation) evaluated AT INSERT TIME —
+                    # duplicate-named stops COLLAPSE (last value wins,
+                    # first key's row id retained), non-stop rows share
+                    # the None key, and a StopAnnot cell mutating the
+                    # annotation AFTER a value insert leaves the dict
+                    # slot's stored hash stale, so equal-looking keys
+                    # can coexist (merge-split sweep seed 60268).
+                    # Mirrored as a literal dict-slot simulation, like
+                    # the legacy path's (extract.py).
                     p = pos_of_series.get(k)
-                    if p is not None:
-                        key = (stop_texts[p].strip(),
-                               annots_of_stop.get(k, ""))
+                    key = (f"{stop_texts[p].strip()} "
+                           f"{annots_of_stop.get(k, '')}"
+                           if p is not None else None)
+                    for slot in ent["values"]:
+                        sk = slot[1]
+                        if slot[0] == key and (
+                                sk == k
+                                or (sk is not None and p is not None
+                                    and f"{stop_texts[pos_of_series[sk]].strip()} "
+                                        f"{annots_of_stop.get(sk, '')}"
+                                        == key)):
+                            slot[2] = text
+                            break
                     else:
-                        key = None
-                    prev = ent["values"].get(key)
-                    ent["values"][key] = (
-                        k if prev is None else prev[0], text)
+                        ent["values"].append([key, k, text])
                     valid.add(e_id)
                 elif t == ENTRY_ANNOT_VALUE:
                     ent["annotations"] = {a.strip() for a in text.split()}
@@ -851,7 +889,7 @@ class TypedTable:
                         # rows are kept). Found by sweep seed 31763: a
                         # merged table put Times above the repeat cells
                         # in the same column.
-                        ent["values"] = {}
+                        ent["values"] = []
                         ent["route_name"] = ""
                     valid.add(e_id)
 
@@ -893,7 +931,8 @@ class TypedTable:
                 "annotations": sorted(ent["annotations"]),
                 "days": ent["days"], "repeat_intervals": repeat,
             }
-            values = list(ent["values"].values()) or [(None, None)]
+            values = ([(sk, tx) for _, sk, tx in ent["values"]]
+                      or [(None, None)])
             for k, text in values:
                 p = pos_of_series.get(k) if k is not None else None
                 rows.append({
@@ -928,7 +967,7 @@ class TypedTable:
         # call ty.refresh(), so it is current here
         bboxes = ty.bbox_arr
         recs = []
-        for r in range(g.n_rows):
+        for r in range(g.n_enum_rows):
             for c in range(g.n_cols):
                 i = g.cells[r][c]
                 b = bboxes[r, c]
@@ -955,26 +994,51 @@ class TypedTable:
 # merge_tables (table.py:899-938, 1261-1308; J4 as-of walk)
 # ---------------------------------------------------------------------------
 
+def _row_y(g, r: int, c: int):
+    """y-interval of the walk cell: own bbox if real, else the ROW's
+    y-range (EmptyCell.bbox, cell.py:402-414 — the x half comes from
+    the column but map_tables only ever reads y, so a dense grid that
+    dropped the reference's dangling unmapped-row cells still walks
+    identically)."""
+    s = g.store
+    i = g.cells[r][c]
+    if not s.is_empty[i]:
+        return float(s.y0[i]), float(s.y1[i])
+    rs = g.row_stripe(r)
+    return None if rs is None else (rs[1], rs[3])
+
+
+def _walk_rows(g) -> list[int]:
+    """Rows visited by the reference's map walk down a boundary
+    column: the column CHAIN has no cell where this dense grid holds
+    absent padding (short rows, shadow padding), so those rows are
+    skipped entirely."""
+    last = g.n_cols - 1
+    return [i for i in range(g.n_rows)
+            if g.cells[i][last] not in g.absent_cells]
+
+
 def _map_tables(t1: TypedTable, t2: TypedTable) -> list[tuple]:
     """map_tables(t1, t2, V): pair t1's last-column cells with t2's
     first-column cells by v-overlap; one-sided rows map to None."""
     g1, g2 = t1.grid, t2.grid
     rel = g1.store.cfg.min_cell_overlap
+    rows1 = _walk_rows(g1)
     i = j = 0
     cmap: list[tuple] = []
-    while i < g1.n_rows and j < g2.n_rows:
-        b1 = g1.cell_bbox(i, g1.n_cols - 1)
-        b2 = g2.cell_bbox(j, 0)
+    while i < len(rows1) and j < g2.n_rows:
+        b1 = _row_y(g1, rows1[i], g1.n_cols - 1)
+        b2 = _row_y(g2, j, 0)
         if b1 is None or b2 is None:
             return []
-        if _is_olap(b1[1], b1[3], b2[1], b2[3], rel):
-            cmap.append((i, j))
+        if _is_olap(b1[0], b1[1], b2[0], b2[1], rel):
+            cmap.append((rows1[i], j))
             i += 1
             j += 1
-        elif b1[1] < b2[1]:
-            cmap.append((i, None))
+        elif b1[0] < b2[0]:
+            cmap.append((rows1[i], None))
             i += 1
-        elif b1[1] > b2[1]:
+        elif b1[0] > b2[0]:
             cmap.append((None, j))
             j += 1
         else:
@@ -1004,24 +1068,58 @@ def merge_tables(tables: list[TypedTable]) -> list[TypedTable]:
             continue
         g1, g2 = tables[i1].grid, tables[i2].grid
         s = g1.store
+        n_enum1 = g1.n_enum_rows
         rows: list[list[int]] = []
+        shadow_rows: list[list[int]] = []
         for r1, r2 in cmap:
             left = (list(g1.cells[r1]) if r1 is not None
                     else [s.add_empty() for _ in range(g1.n_cols)])
             right = (list(g2.cells[r2]) if r2 is not None
                      else [s.add_empty() for _ in range(g2.n_cols)])
-            rows.append(left + right)
+            # a map entry anchored on one of g1's own shadow rows
+            # extends that row east but leaves it dangling
+            (shadow_rows if r1 is not None and r1 >= n_enum1
+             else rows).append(left + right)
+        # reference merge (table.py:899-938 + map_tables 1262-1288):
+        # ONLY tmap rows receive the east extension.  map_tables
+        # returns as soon as either column walk exhausts, so t2 rows
+        # past the map's end are never linked into t1's left column
+        # and VANISH from enumeration (for fully stacked tables the
+        # whole lower table is dropped — every entry is (i, None));
+        # t1 rows past the map's end stay in the left column as
+        # SHORT rows with no east neighbors (padded dense here, see
+        # Grid.short_rows).  The dropped t2 rows' cells stay linked
+        # below t2's columns, so they keep feeding COLUMN semantics
+        # (re-inference, find_stops' V series, later map walks) —
+        # kept here as SHADOW rows (Grid.n_shadow).
         mapped1 = {r1 for r1, _ in cmap if r1 is not None}
         mapped2 = {r2 for _, r2 in cmap if r2 is not None}
-        for r1 in range(g1.n_rows):     # trailing unmapped rows
-            if r1 not in mapped1:
-                rows.append(list(g1.cells[r1])
-                            + [s.add_empty() for _ in range(g2.n_cols)])
-        for r2 in range(g2.n_rows):
+        short: dict[int, int] = {}
+        absent: set[int] = g1.absent_cells | g2.absent_cells
+
+        def _absent_pad(n: int) -> list[int]:
+            pad = [s.add_empty() for _ in range(n)]
+            absent.update(pad)
+            return pad
+
+        for r1 in range(g1.n_rows):     # t1 rows after the map's end
+            if r1 in mapped1:
+                continue
+            padded = list(g1.cells[r1]) + _absent_pad(g2.n_cols)
+            if r1 < n_enum1:
+                # an already-short row keeps its ORIGINAL width
+                short[len(rows)] = g1.short_rows.get(r1, g1.n_cols)
+                rows.append(padded)
+            else:                       # g1's shadow rows stay shadow
+                shadow_rows.append(padded)
+        for r2 in range(g2.n_rows):     # dropped t2 rows -> shadow
             if r2 not in mapped2:
-                rows.append([s.add_empty() for _ in range(g1.n_cols)]
-                            + list(g2.cells[r2]))
-        merged = Grid(s, rows)
+                shadow_rows.append(_absent_pad(g1.n_cols)
+                                   + list(g2.cells[r2]))
+        merged = Grid(s, rows + shadow_rows)
+        merged.n_shadow = len(shadow_rows)
+        merged.short_rows = short
+        merged.absent_cells = absent
         merged.potential = g1.potential
         tt = TypedTable(merged)
         tt.typer.infer_all()

@@ -282,6 +282,30 @@ class Grid:
         # this dict (row -> trailing store idxs) captures the
         # observable raggedness for CSV/grid surfaces.
         self.tails: dict[int, list[int]] = {}
+        # SHORT rows (merge_tables quirk, table.py:899-938): t1 rows
+        # past the tmap's end keep NO east extension; the dense grid
+        # pads them with EmptyCells, and this dict (row -> real
+        # width) truncates the padding on output surfaces.
+        self.short_rows: dict[int, int] = {}
+        # SHADOW rows (merge_tables quirk): unmapped t2 rows are never
+        # linked into t1's left column, so they vanish from row
+        # ENUMERATION — but their cells stay linked below t2's columns
+        # and keep participating in column walks (type inference,
+        # find_stops' V series, the next merge's map walk).  The last
+        # n_shadow rows of `cells` are such rows: real for column
+        # semantics, invisible to row enumeration and output.
+        self.n_shadow: int = 0
+        # store indexes of padding EmptyCells that exist ONLY to keep
+        # this grid dense — the reference has NO cell at all in these
+        # slots (shadow rows' off-table padding, short rows' east
+        # padding), so inference must treat them as nonexistent, not
+        # as EmptyCells (Typer.refresh builds the (R, C) mask from it)
+        self.absent_cells: set = set()
+
+    @property
+    def n_enum_rows(self) -> int:
+        """Rows reachable from the left column (enumeration order)."""
+        return len(self.cells) - self.n_shadow
 
     # ------------------------------------------------------------------
     # construction (table.py:115-126, 1035-1071)

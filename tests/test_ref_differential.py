@@ -111,9 +111,9 @@ def ref_csv(table, tmp_path) -> str:
 def repo_grid(tt):
     g, s, ty = tt.grid, tt.grid.store, tt.typer
     rows = []
-    for r in range(g.n_rows):
+    for r in range(g.n_enum_rows):
         row = []
-        for c in range(g.n_cols):
+        for c in range(g.short_rows.get(r, g.n_cols)):
             i = g.cells[r][c]
             if s.is_empty[i]:
                 row.append(("", "Empty"))
@@ -317,6 +317,56 @@ class TestMergeSplitTables:
         Config.merge_split_tables = True
         try:
             assert_equivalent(fields, tmp_path, "merge_split", cfg=cfg)
+        finally:
+            Config.merge_split_tables = old
+
+    @pytest.mark.parametrize("seed", [60001, 60002, 60006, 60010,
+                                      60015, 60016, 60023, 60048])
+    def test_merge_split_stacked_sweep(self, seed, tmp_path):
+        self._merge_case("v2", seed, tmp_path)
+
+    @pytest.mark.parametrize("family,seed", [
+        # chained merges: short rows keep their original width and are
+        # skipped by the next map walk (no cell in the walk column)
+        ("v4", 60040), ("v4", 60110),
+        # a StopAnnot cell mutating the annotation AFTER a value
+        # insert leaves the entry.values dict slot's stored hash stale
+        ("v4", 60268),
+    ])
+    def test_merge_split_chained_quirks(self, family, seed, tmp_path):
+        self._merge_case(family, seed, tmp_path)
+
+    def _merge_case(self, family, seed, tmp_path):
+        """merge_split_tables=True sweeps (round 5c; previously only
+        the single side-by-side case was covered).  The seeds exposed
+        these quirks before they were mirrored: STACKED tables merge
+        by DROPPING the lower table's rows (map_tables pairs every t1
+        row with None and returns when a side exhausts; unmapped t2
+        rows never join t1's left column — table.py:899-938,
+        1262-1288); the dropped rows' cells stay dangling in t2's
+        column chains and keep feeding the post-merge re-inference
+        (mirrored as shadow rows); the dense grid's padding must be
+        invisible to inference (absent mask) because the reference
+        has NO cell in those slots; chained merges leave SHORT rows
+        (no east extension) that the next map walk skips; and
+        entry.values dict slots keep stale insert-time hashes."""
+        import random
+        from test_newpath import _payload
+        ref = load_reference()
+        Config = ref["Config"]
+        cfg = dataclasses.replace(NEW_CFG, merge_split_tables=True)
+        rng = random.Random(seed)
+        if family == "v4":
+            payload = TestAdversarialLayoutsV4._payload_cid(
+                TestAdversarialLayoutsV4._layout(rng), rng)
+        else:
+            payload = _payload(TestAdversarialLayouts._layout(rng))
+        fields = payload_fields(payload)
+        old = Config.merge_split_tables
+        Config.merge_split_tables = True
+        try:
+            assert_equivalent(fields, tmp_path, f"ms_{seed}",
+                              expect_tables=False, cfg=cfg)
         finally:
             Config.merge_split_tables = old
 

@@ -34,12 +34,24 @@ sys.path.insert(0, str(_REPO))
 sys.path.insert(0, str(_REPO / "tests"))
 
 _mod = None          # test_ref_differential, imported per worker
+_merge = False       # run with merge_split_tables=True (both engines)
+_seed_timeout = 60   # per-seed wall clock before classifying 'timeout'
 
 
-def _init():
-    global _mod
+def _init_worker(merge: bool, seed_timeout: int):
+    global _seed_timeout
+    _seed_timeout = seed_timeout
+    _init(merge)
+
+
+def _init(merge: bool = False):
+    global _mod, _merge
     import test_ref_differential as mod
     _mod = mod
+    _merge = merge
+    if merge:
+        ref = mod.load_reference()
+        ref["Config"].merge_split_tables = True
 
 
 def _fields_for(family: str, seed: int):
@@ -73,10 +85,13 @@ def _ref_site(exc) -> str:
 
 
 def _run_newpath(family: str, seed: int):
+    import dataclasses
+    cfg = (dataclasses.replace(_mod.NEW_CFG, merge_split_tables=True)
+           if _merge else _mod.NEW_CFG)
     payload = _fields_for(family, seed)
     fields = _mod.payload_fields(payload)
     try:
-        repo_tables = _mod.tables_from_fields(fields, _mod.NEW_CFG)
+        repo_tables = _mod.tables_from_fields(fields, cfg)
     except Exception as e:                                  # noqa: BLE001
         return ("repo_crash", f"{type(e).__name__}: {e}")
     try:
@@ -88,7 +103,7 @@ def _run_newpath(family: str, seed: int):
     with tempfile.TemporaryDirectory() as td:
         try:
             _mod.assert_equivalent(fields, Path(td), f"{family}_{seed}",
-                                   expect_tables=False)
+                                   expect_tables=False, cfg=cfg)
         except AssertionError as e:
             return ("divergent", str(e)[:400])
         except Exception as e:                              # noqa: BLE001
@@ -203,6 +218,16 @@ def _run_route(family: str, seed: int):
 
 def _one(task):
     family, surface, seed = task
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError()
+
+    try:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(_seed_timeout)
+    except ValueError:          # non-main thread (sequential surfaces)
+        pass
     try:
         if surface == "legacy":
             cls, detail = _run_legacy(family, seed)
@@ -212,8 +237,15 @@ def _one(task):
             cls, detail = _run_route(family, seed)
         else:
             cls, detail = _run_newpath(family, seed)
+    except TimeoutError:
+        cls, detail = "timeout", f">{_seed_timeout}s"
     except Exception as e:                                  # noqa: BLE001
         cls, detail = "harness_error", f"{type(e).__name__}: {e}"
+    finally:
+        try:
+            signal.alarm(0)
+        except ValueError:
+            pass
     return seed, cls, detail
 
 
@@ -229,6 +261,10 @@ def main() -> None:
                     default=min(16, os.cpu_count() or 4))
     ap.add_argument("--details", action="store_true",
                     help="print per-seed detail for non-equivalent")
+    ap.add_argument("--merge-split", action="store_true",
+                    help="run with merge_split_tables=True (newpath)")
+    ap.add_argument("--seed-timeout", type=int, default=60,
+                    help="per-seed seconds before 'timeout' class")
     args = ap.parse_args()
 
     tasks = [(args.family, args.surface, s)
@@ -236,11 +272,14 @@ def main() -> None:
     tally = collections.Counter()
     seeds = collections.defaultdict(list)
     details = {}
+    global _seed_timeout
+    _seed_timeout = args.seed_timeout
     if args.surface in ("gtfs", "route"):   # Spark: sequential
-        _init()
+        _init(args.merge_split)
         results = map(_one, tasks)
     else:
-        pool = mp.Pool(args.workers, initializer=_init)
+        pool = mp.Pool(args.workers, initializer=_init_worker,
+                       initargs=(args.merge_split, args.seed_timeout))
         results = pool.imap_unordered(_one, tasks, chunksize=8)
     for seed, cls, detail in results:
         tally[cls] += 1
