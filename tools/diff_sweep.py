@@ -92,10 +92,14 @@ def _run_newpath(family: str, seed: int):
     fields = _mod.payload_fields(payload)
     try:
         repo_tables = _mod.tables_from_fields(fields, cfg)
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("repo_crash", f"{type(e).__name__}: {e}")
     try:
         ref_tables = _mod.run_reference(fields)
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("ref_crash", _ref_site(e))
     if not repo_tables and not ref_tables:
@@ -106,6 +110,8 @@ def _run_newpath(family: str, seed: int):
                                    expect_tables=False, cfg=cfg)
         except AssertionError as e:
             return ("divergent", str(e)[:400])
+        except TimeoutError:
+            raise
         except Exception as e:                              # noqa: BLE001
             # assert_equivalent re-runs the reference (to_timetable /
             # to_file stages run only here) — classify crash side
@@ -121,11 +127,15 @@ def _run_legacy(family: str, seed: int):
     cls = _mod.TestLegacySurface
     try:
         repo = cls._repo_legacy(payload)
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("repo_crash", f"{type(e).__name__}: {e}")
     with tempfile.TemporaryDirectory() as td:
         try:
             ref = cls._ref_legacy(payload, Path(td))
+        except TimeoutError:
+            raise
         except Exception as e:                              # noqa: BLE001
             return ("ref_crash", _ref_site(e))
     if not repo and not ref:
@@ -166,10 +176,14 @@ def _run_gtfs(family: str, seed: int):
     payload = _fields_for(family, seed)
     try:
         rf = gmod.ref_feed(payload)
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("ref_crash", _ref_site(e))
     try:
         mf = gmod.repo_feed(payload, _get_spark())
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("repo_crash", f"{type(e).__name__}: {e}")
     if all(not rf[s] for s in rf) and all(not mf[s] for s in mf):
@@ -192,6 +206,8 @@ def _run_route(family: str, seed: int):
     try:
         ref_handles = rmod.load_reference_gtfs()
         stop_names = rmod._stop_names_for(payload, ref_handles)
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("ref_crash", _ref_site(e))
     if not stop_names:
@@ -199,6 +215,8 @@ def _run_route(family: str, seed: int):
     raw = rmod.synthetic_osm(stop_names, seed=seed)
     try:
         ref = rmod.ref_locate(payload, raw.copy())
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         return ("ref_crash", _ref_site(e))
     try:
@@ -206,6 +224,8 @@ def _run_route(family: str, seed: int):
             payload, raw.copy(), _get_spark(), f"{family}_{seed}")
     except AssertionError as e:
         return ("divergent", str(e)[:400])
+    except TimeoutError:
+        raise
     except Exception as e:                                  # noqa: BLE001
         for fr in traceback.extract_tb(e.__traceback__):
             if "/reference/" in fr.filename:
@@ -239,6 +259,11 @@ def _one(task):
             cls, detail = _run_newpath(family, seed)
     except TimeoutError:
         cls, detail = "timeout", f">{_seed_timeout}s"
+        if _spark is not None:      # don't let the zombie job linger
+            try:
+                _spark.sparkContext.cancelAllJobs()
+            except Exception:                               # noqa: BLE001
+                pass
     except Exception as e:                                  # noqa: BLE001
         cls, detail = "harness_error", f"{type(e).__name__}: {e}"
     finally:
