@@ -164,8 +164,26 @@ def _get_spark():
                   .config("spark.sql.execution.arrow.pyspark.enabled",
                           "true")
                   .config("spark.ui.enabled", "false")
+                  .config("spark.driver.memory", "8g")
                   .getOrCreate())
     return _spark
+
+
+def _reset_spark():
+    """Tear down a dead/poisoned session (gateway died mid-sweep)."""
+    global _spark
+    if _spark is not None:
+        try:
+            _spark.stop()
+        except Exception:                                   # noqa: BLE001
+            pass
+        try:
+            from pyspark import SparkContext
+            SparkContext._gateway = None
+            SparkContext._jvm = None
+        except Exception:                                   # noqa: BLE001
+            pass
+        _spark = None
 
 
 def _run_gtfs(family: str, seed: int):
@@ -266,6 +284,8 @@ def _one(task):
                 pass
     except Exception as e:                                  # noqa: BLE001
         cls, detail = "harness_error", f"{type(e).__name__}: {e}"
+        if "Connection refused" in str(e) or "Py4JNetworkError" in str(e):
+            _reset_spark()          # dead gateway: rebuild next seed
     finally:
         try:
             signal.alarm(0)
