@@ -15,6 +15,28 @@ QUERIES: dict[str, Callable] = {}
 ORACLES: dict[str, str] = {}
 
 
+def read_scaled(spark, path: str):
+    """Parquet scan with scale-adaptive parallelism (guide §2.2/§6).
+
+    A parquet ROW GROUP is the atomic split unit: a single-file table
+    written as one row group scans as ONE task no matter how many
+    cores the session has (maxPartitionBytes slices the byte range,
+    but every slice except the one containing the row-group midpoint
+    is empty), which serializes all heavy map-side work hung below the
+    scan — measured at sf1.0: the whole 50k-doc shingle explode / HTML
+    parse ran in one task on local[32].  When the scan's split count
+    is below the session parallelism, redistribute round-robin; on a
+    production table (files >> cores) the gate is false and this is a
+    zero-cost no-op, so the setting is input-derived, not tuned to
+    local[32].
+    """
+    df = spark.read.parquet(path)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def register(name: str, oracle: Optional[str] = None):
     def deco(fn: Callable):
         QUERIES[name] = fn

@@ -37,7 +37,7 @@ from pdf2gtfs_spark.kernel.htmlstrip import (
     CHUNK, MIN_BLOCK_CHARS, N_BOILERPLATE_BLOCKS, strip_html,
     wrap_document,
 )
-from pdf2gtfs_spark.operators import register
+from pdf2gtfs_spark.operators import read_scaled, register
 
 _SCHEMA = ("doc_id long, title string, main_text string, "
            "n_blocks long, n_kept long")
@@ -79,7 +79,10 @@ GROUP BY doc_id
 ORDER BY doc_id
 """)
 def html_main_content(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scale-adaptive scan (guide §2.2): the DOM-parse kernel below is
+    # pure per-row CPU — a one-row-group input must not run it on one
+    # core (measured 36 s single-task at sf1.0 on local[32])
+    docs = read_scaled(spark, f"{sf_dir}/documents.parquet")
     return (docs.select("doc_id", "text")
             .mapInPandas(_strip_kernel, _SCHEMA)
             .orderBy("doc_id"))

@@ -20,7 +20,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pdf2gtfs_spark.operators import register
+from pdf2gtfs_spark.operators import read_scaled, register
 
 # Candidate-pruning caps (no-silent-caps convention, VERDICT r4 #3):
 # env-overridable so a production run tunes them per corpus, and the
@@ -38,7 +38,10 @@ LSH_BUCKET_CAP = int(os.environ.get("SPARK_GRAFT_LSH_BUCKET_CAP", "512"))
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # scale-adaptive scan: every textops query hangs explode/regex/
+    # Arrow-kernel work directly below this scan, so a one-row-group
+    # input must not serialize it onto one core (guide §2.2)
+    return read_scaled(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _md5int_spark(col):
