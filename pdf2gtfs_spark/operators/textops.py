@@ -177,29 +177,34 @@ ORDER BY doc_a, doc_b
 """)
 def dedup_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    # NOT cached: the shingle stream is ~2k rows/doc — caching it
-    # deserialized holds GBs of storage memory for the rest of the
-    # session (measured: the *following* suite queries slowed 3-10x),
-    # while recomputing explode+substring is cheap codegen work.
-    sh = _shingles_spark(d)
+    # localCheckpoint: the shingle stream feeds FIVE consumers below
+    # (sizes, the df aggregate, the semi join, and both self-join
+    # sides) and exchange reuse does not fire across them, so without
+    # truncation the scan+explode+distinct pipeline (3.5 s at sf1.0)
+    # ran ~5x — measured 16.1 s -> 5.4 s with the checkpoint. The
+    # materialized stream is MEMORY_AND_DISK (spills, never lost), and
+    # at corpus scale storing it once still beats five recomputations
+    # of the full text scan. (An earlier round measured .cache() of
+    # the same stream harming the *following* suite queries; that was
+    # a session-lifetime MEMORY cache under a no-reuse plan — here the
+    # blocks pay for themselves within the query and are dropped with
+    # its lineage.)
+    sh = _shingles_spark(d).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # df cap via hash aggregate + left_semi join: a count() window
     # SORTS the whole shingle stream per partition, while the
     # aggregate is map-side partial and the rare-shingle keeper set
     # joins back as a plain equi join (same df<=64 semantics as the
-    # oracle's window formulation)
+    # oracle's window formulation). No join hints: the checkpointed
+    # relation carries REAL size stats, so Catalyst/AQE only broadcast
+    # a side that actually fits (the r3-era hints guarded against a
+    # wrong estimate broadcasting the whole exploded stream).
     rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
             .where(F.col("df") <= JACCARD_DF_CAP).select("shingle"))
-    # Pin the inverted-index joins to shuffle joins: the single-scan
-    # shingle source makes Catalyst's size estimate small enough to
-    # BROADCAST the exploded shingle stream (docs x ~2k rows) — slow
-    # here and an executor-OOM hazard at corpus scale, where neither
-    # the index nor the per-doc sizes frame is broadcastable.
-    capped = sh.hint("merge").join(rare.hint("merge"),
-                                   "shingle", "left_semi")
+    capped = sh.join(rare, "shingle", "left_semi")
     a = capped.alias("a")
     b = capped.alias("b")
-    pairs = (a.join(b.hint("merge"),
+    pairs = (a.join(b,
                     (F.col("a.shingle") == F.col("b.shingle"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .groupBy(F.col("a.doc_id").alias("doc_a"),
@@ -209,8 +214,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
                       F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_shingles").alias("nb"))
-    jac = (pairs.join(sa.hint("merge"), "doc_a")
-           .join(sb.hint("merge"), "doc_b")
+    jac = (pairs.join(sa, "doc_a")
+           .join(sb, "doc_b")
            .withColumn("jmil", 1000.0 * F.col("n_common")
                        / (F.col("na") + F.col("nb") - F.col("n_common"))))
     return (jac.where("jmil >= 150")
@@ -234,44 +239,93 @@ FROM shingles, (SELECT unnest(generate_series(0, {_MINHASH_K - 1})) AS k)
 GROUP BY doc_id, k ORDER BY doc_id, k
 """)
 def minhash_signatures(spark, sf_dir):
-    # Plan choice, MEASURED (sf0.1, local[32], calm host):
-    #   crossJoin(broadcast(K)) then groupBy(doc_id, k):   ~4.4-6.0 s
-    #   K min() exprs in one groupBy(doc_id):              ~9.5-10.5 s
-    #   K hash columns projected, then K min() aggs:       ~9.9-10.0 s
-    # The "no row multiplication" variants lose because Catalyst's
-    # RemoveRedundantAggregates ELIDES the shingle .distinct() under
-    # duplicate-insensitive min(), so every duplicate shingle gets
-    # hashed K times; the crossJoin formulation keeps the distinct
-    # aggregate (it sits below a join) and hashes K x DISTINCT
-    # shingles. Scale shape is sound either way: the K x expansion is
-    # pipelined row-by-row inside WholeStageCodegen in the *map* stage
-    # (never materialized, never shuffled) and the partial aggregate
-    # reduces each split to <= K rows/doc before the exchange.
+    # Plan history: r1-r5 crossJoined the distinct (doc, shingle)
+    # stream with K and aggregated — 53M md5+conv calls and two
+    # exchanges at sf1.0 (8 s). r6 computes the per-doc minhash VECTOR
+    # in one map-only Arrow kernel (_minhash_wide) and unpivots; the
+    # only exchange left is the output orderBy.
     return _minhash_sigs(spark, _t(spark, sf_dir, "documents"))
 
 
+def _minhash_kernel(batches):
+    """Per-doc minhash vector, one pass (guide §4.2: heavy lifting in
+    native/amortized code inside the kernel). Per task, a dictionary
+    caches the K md5 hashes per DISTINCT shingle VALUE — a 4-gram
+    dictionary is bounded by charset^4 and measured at 985 values on
+    the sf1.0 corpus — so the md5 count is ~dictionary-sized instead
+    of |docs| x |shingles| x K (53M at sf1.0). Python md5 hexdigest ==
+    Spark md5(); int(hex[:15], 16) == conv(substring(md5, 1, 15), 16,
+    10) cast bigint (60 bits, always positive), so values are
+    bit-identical to the r1-r5 relational formulation."""
+    import hashlib
+
+    import pandas as pd
+
+    cache: dict = {}
+
+    def hashes(g: str):
+        v = cache.get(g)
+        if v is None:
+            v = tuple(
+                int(hashlib.md5((f"{k}#" + g).encode()).hexdigest()[:15],
+                    16)
+                for k in range(_MINHASH_K))
+            cache[g] = v
+        return v
+
+    for pdf in batches:
+        rows, cols = [], [[] for _ in range(_MINHASH_K)]
+        for pos, text in enumerate(pdf["text"]):
+            grams = {text[i:i + 4] for i in range(len(text) - 3)}
+            if not grams:      # caller filters length >= 4; guard only
+                continue
+            mins = [min(c) for c in zip(*[hashes(g) for g in grams])]
+            rows.append(pos)
+            for k in range(_MINHASH_K):
+                cols[k].append(mins[k])
+        out = pd.DataFrame(
+            {f"m{k}": pd.Series(cols[k], dtype="int64")
+             for k in range(_MINHASH_K)})
+        # doc_id sliced from the input batch so its dtype (int or
+        # string — tests feed synthetic string ids) survives as-is
+        out.insert(0, "doc_id",
+                   pdf["doc_id"].iloc[rows].reset_index(drop=True))
+        yield out
+
+
+def _minhash_wide(d: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{K-1}) — map-only, no exchange below the kernel."""
+    schema = ("doc_id " + d.schema["doc_id"].dataType.simpleString()
+              + ", " + ", ".join(f"m{k} long"
+                                 for k in range(_MINHASH_K)))
+    return (d.where(F.length("text") >= 4)
+            .select("doc_id", "text")
+            .mapInPandas(_minhash_kernel, schema))
+
+
 def _minhash_sigs(spark, d: DataFrame) -> DataFrame:
-    sh = _shingles_spark(d)
-    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
-    hashed = sh.crossJoin(F.broadcast(ks)).select(
-        "doc_id", "k",
-        _md5int_spark(F.concat(F.col("k").cast("string"), F.lit("#"),
-                               F.col("shingle"))).alias("h"))
-    return (hashed.groupBy("doc_id", "k")
-            .agg(F.min("h").alias("minhash"))
+    stack = ", ".join(f"{k}, m{k}" for k in range(_MINHASH_K))
+    return (_minhash_wide(d)
+            .select("doc_id",
+                    F.expr(f"stack({_MINHASH_K}, {stack}) "
+                           "AS (k, minhash)"))
             .orderBy("doc_id", "k"))
 
 
-def _bands_spark(sigs: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key) from long-format minhash signatures —
-    bands of 2 rows, band_key = md5 of the k-ordered minhash pair."""
-    return (sigs.withColumn("band", (F.col("k") / 2).cast("int"))
-            .groupBy("doc_id", "band")
-            .agg(F.md5(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "minhash"))),
-                    lambda s: s["minhash"].cast("string")),
-                ",")).alias("band_key")))
+def _bands_spark(wide: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from WIDE minhash vectors — bands of 2
+    adjacent hashes, band_key = md5 of the k-ordered pair. Pure column
+    algebra (r1-r5 rebuilt the pairs from long format with a
+    collect_list groupBy — an exchange this unpivot never needed);
+    byte-identical keys: md5(concat(m_2b, ',', m_2b+1)) matches the
+    oracle's md5(string_agg(minhash, ',' ORDER BY k))."""
+    stack = ", ".join(
+        f"{b}, md5(concat(cast(m{2 * b} as string), ',', "
+        f"cast(m{2 * b + 1} as string)))"
+        for b in range(_MINHASH_K // 2))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({_MINHASH_K // 2}, {stack}) AS (band, band_key)"))
 
 
 # --- MinHash-LSH candidate pairs (bands of 2 rows) ---------------------------
@@ -304,12 +358,13 @@ FROM bands a JOIN bands b
 GROUP BY 1, 2 ORDER BY doc_a, doc_b
 """)
 def minhash_lsh_pairs(spark, sf_dir):
-    sigs = minhash_signatures(spark, sf_dir)
-    # localCheckpoint: the band frame is tiny (3 rows/doc) but its
-    # lineage is the whole shingle->signature pipeline; without
-    # truncation the self-join below evaluates that pipeline for both
-    # sides (4 parquet scans in the plan, no guaranteed exchange reuse)
-    bands = _bands_spark(sigs)
+    wide = _minhash_wide(_t(spark, sf_dir, "documents"))
+    # localCheckpoint BEFORE the bucket cap (moved up from after it,
+    # guide §2.4): the band frame is tiny (3 rows/doc) but its lineage
+    # is the whole minhash kernel pipeline, and the cap's keep-set
+    # aggregate is a second consumer — checkpointing first means the
+    # kernel runs ONCE for the cap AND the self-join.
+    bands = _bands_spark(wide).localCheckpoint()
     # Oversized-bucket cap (sf1 sweep finding, BENCH/BASELINE.md r4):
     # banding only bounds bucket sizes when signatures are diverse; on
     # degenerate content (tiny vocabulary, boilerplate) one bucket can
@@ -322,9 +377,7 @@ def minhash_lsh_pairs(spark, sf_dir):
             .agg(F.count("*").alias("bsz"))
             .where(F.col("bsz") <= LSH_BUCKET_CAP)
             .select("band", "band_key"))
-    bands = bands.join(keep.hint("merge"), ["band", "band_key"],
-                       "left_semi")
-    bands = bands.localCheckpoint()
+    bands = bands.join(keep, ["band", "band_key"], "left_semi")
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -395,7 +448,7 @@ def cap_drop_metrics(spark, d: DataFrame,
           .where(F.col("df") > jaccard_cap)
           .agg(F.count("*").alias("n_dropped_groups"),
                F.coalesce(F.sum("df"), zero).alias("n_dropped_rows")))
-    ld = (_bands_spark(_minhash_sigs(spark, d))
+    ld = (_bands_spark(_minhash_wide(d))
           .groupBy("band", "band_key").agg(F.count("*").alias("bsz"))
           .where(F.col("bsz") > lsh_cap)
           .agg(F.count("*").alias("n_dropped_groups"),

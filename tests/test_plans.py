@@ -108,23 +108,24 @@ class TestPlanQuality:
             "spark.sql.adaptive.skewJoin.enabled") == "true"
 
     def test_shingle_source_single_pass(self, spark):
-        """The char-4-gram shingle source is one scan of `documents`
-        per use — no self-join to re-fetch `text` — and the jaccard
-        inverted-index joins stay shuffle joins (a broadcast of the
-        exploded shingle stream is an executor-OOM hazard at corpus
-        scale; Catalyst picks it from understated Generate stats
-        unless pinned)."""
+        """r6 shapes: the minhash signature path is ONE scan feeding a
+        map-only Arrow kernel (no join, no aggregate exchange below
+        the unpivot), and dedup_ngram_jaccard materializes the shingle
+        stream once (localCheckpoint) so its five consumers reuse the
+        scan+explode+distinct pipeline instead of re-running it."""
         from pdf2gtfs_spark.operators.textops import (
             dedup_ngram_jaccard, minhash_signatures)
         sf = "/root/testdata/sf0.01"
         sig_plan = _plan(minhash_signatures(spark, sf))
         assert sig_plan.count("Scan parquet") == 1
-        assert "SortMergeJoin" not in sig_plan  # no text re-fetch join
+        assert "MapInPandas" in sig_plan
+        assert "SortMergeJoin" not in sig_plan    # no join at all
+        assert "HashAggregate" not in sig_plan    # map-only + unpivot
         jac_plan = _plan(dedup_ngram_jaccard(spark, sf))
-        # 6 uses of the shingle/sizes subtrees, one scan each (was 12
-        # with the join formulation)
-        assert jac_plan.count("Scan parquet") == 6
-        assert "BroadcastHashJoin" not in jac_plan
+        # every consumer reads the checkpointed shingle RDD; the
+        # parquet scan ran once, eagerly, at checkpoint time
+        assert jac_plan.count("Scan parquet") == 0
+        assert "ExistingRDD" in jac_plan
         assert "BroadcastNestedLoopJoin" not in jac_plan
 
     def test_whole_stage_codegen_on_relational_path(self, spark):
