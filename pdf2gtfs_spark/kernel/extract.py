@@ -1099,7 +1099,8 @@ def _process_table(table_id: int, a: _TableAnalysis,
 
 def extract_turn(payload: str,
                  cfg: ExtractConfig = DEFAULT_CONFIG,
-                 light: bool = False) -> TurnResult:
+                 light: bool = False,
+                 decoded=None) -> TurnResult:
     """Run the full extraction on one turn payload.
 
     Dispatches on ``cfg.extraction_path``: "legacy" runs the window
@@ -1110,13 +1111,21 @@ def extract_turn(payload: str,
     ``light=True`` skips materializing the per-cell/entry/stop record
     lists (the CSV text — the per-turn equality surface — is still
     produced); used when the caller only ships the text surface.
+
+    ``decoded``: optional pre-decoded payload from
+    ``decode_payload_batch`` — either a (PageBox, arrays) pair or a
+    MalformedPayload instance; when given, ``payload`` is not re-read.
     """
     from pdf2gtfs_spark.kernel.payload import decode_payload_arrays
 
-    try:
-        page, chars = decode_payload_arrays(payload)
-    except MalformedPayload:
+    if decoded is None:
+        try:
+            decoded = decode_payload_arrays(payload)
+        except MalformedPayload:
+            return TurnResult(malformed=True)
+    if isinstance(decoded, MalformedPayload):
         return TurnResult(malformed=True)
+    page, chars = decoded
     chars = cleanup_char_arrays(chars, page)
     result = TurnResult(n_chars=len(chars["x0"]))
     if len(chars["x0"]) == 0:

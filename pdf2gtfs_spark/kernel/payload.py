@@ -117,6 +117,125 @@ def decode_payload(payload: str) -> tuple[PageBox, pd.DataFrame]:
     return page, pd.DataFrame(arrs, columns=CHAR_COLUMNS)
 
 
+def _decode_one_guarded(payload: str):
+    """Per-payload decode that returns (not raises) MalformedPayload."""
+    try:
+        return decode_payload_arrays(payload)
+    except MalformedPayload as e:
+        return e
+
+
+def decode_payload_batch(payloads: Sequence[str]) -> list:
+    """Decode many payloads with ONE vectorized CSV parse.
+
+    The per-turn parser spends most of its time in per-line
+    ``str.split`` plus per-turn numpy array construction (guide §4.5:
+    amortize per-batch); here all body lines of a batch are parsed by
+    pyarrow's C++ CSV reader in one call and sliced back per turn as
+    numpy views.  Semantics are EXACTLY decode_payload_arrays': any
+    payload whose body is not uniformly 5 tab-separated fields — or
+    any batch pyarrow cannot parse under the strict options below —
+    falls back to the per-turn parser, so behavioural edge cases
+    (malformed headers, ragged bodies, exotic float spellings) keep
+    their r1-r5 outcomes.  Returns a list parallel to ``payloads`` of
+    (PageBox, dict-of-arrays) or MalformedPayload instances.
+    """
+    out: list = [None] * len(payloads)
+    pages: list = [None] * len(payloads)
+    bodies: list[list[str]] = []
+    counts: list[int] = []
+    idxs: list[int] = []
+    for i, payload in enumerate(payloads):
+        nl = payload.find("\n")
+        header = payload[:nl] if nl >= 0 else payload
+        parts = header.split("\t")
+        if len(parts) != 5 or parts[0] != "PAGE":
+            out[i] = MalformedPayload(header[:80])
+            continue
+        try:
+            pages[i] = PageBox(float(parts[1]), float(parts[2]),
+                               float(parts[3]), float(parts[4]))
+        except ValueError as e:
+            out[i] = MalformedPayload(str(e))
+            continue
+        body = payload[nl + 1:] if nl >= 0 else ""
+        # fast shape check without splitting: a clean body has exactly
+        # 4 tabs per line. The total-count test is necessary but not
+        # sufficient (a 5-tab and a 3-tab line can balance); pyarrow's
+        # strict column-count parse catches any such remainder and
+        # sends the batch to the exact per-turn fallback below.
+        if body and ("\n\n" not in body and body[0] != "\n"
+                     and body[-1] != "\n"):
+            n = body.count("\n") + 1
+        else:
+            lines = [ln for ln in body.split("\n") if ln]
+            n = len(lines)
+            body = "\n".join(lines)
+        if body.count("\t") != 4 * n:
+            out[i] = _decode_one_guarded(payload)   # ragged -> exact path
+            continue
+        bodies.append(body)
+        counts.append(n)
+        idxs.append(i)
+    if not idxs:
+        return out
+
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+
+    blob = "\n".join(b for b in bodies if b)
+    try:
+        if blob:
+            tbl = pacsv.read_csv(
+                io.BytesIO(blob.encode("utf-8")),
+                read_options=pacsv.ReadOptions(
+                    column_names=CHAR_COLUMNS, use_threads=False),
+                parse_options=pacsv.ParseOptions(
+                    delimiter="\t", quote_char=False),
+                convert_options=pacsv.ConvertOptions(
+                    column_types={"x0": pa.float64(), "y0": pa.float64(),
+                                  "x1": pa.float64(), "y1": pa.float64(),
+                                  "text": pa.string()},
+                    null_values=[], strings_can_be_null=False))
+            if tbl.num_rows != sum(counts):
+                raise ValueError("row-count drift vs line count")
+            coords = [tbl.column(c).to_numpy() for c in
+                      ("x0", "y0", "x1", "y1")]
+            text = tbl.column("text").to_numpy(zero_copy_only=False)
+            # cid repair is the identity on 1-char glyphs; one C-level
+            # length scan over the whole batch decides whether any
+            # per-text repair runs at all (same skip rule as the
+            # per-turn parser: keyed on length only)
+            import pyarrow.compute as pc
+            lens = pc.utf8_length(tbl.column("text")).to_numpy()
+            long_any = bool((lens > 1).any())
+        else:
+            coords = [np.empty(0)] * 4
+            text = np.empty(0, dtype=object)
+            long_any = False
+        off = 0
+        for j, i in enumerate(idxs):
+            n = counts[j]
+            sl = slice(off, off + n)
+            off += n
+            t = text[sl]
+            if long_any and n and (lens[sl] > 1).any():
+                t = np.array(
+                    [_fix_cid_text(s) if len(s) > 1 else s for s in t],
+                    dtype=object)
+            out[i] = (pages[i], {
+                "x0": coords[0][sl], "y0": coords[1][sl],
+                "x1": coords[2][sl], "y1": coords[3][sl],
+                "text": t if t.dtype == object else t.astype(object),
+            })
+    except (pa.ArrowInvalid, ValueError):
+        # one bad body poisons the batch parse: redo each pending
+        # payload through the exact per-turn parser
+        for i in idxs:
+            out[i] = _decode_one_guarded(payloads[i])
+    return out
+
+
 def encode_chars(page: PageBox, chars: pd.DataFrame) -> str:
     """Inverse of decode_payload."""
     buf = io.StringIO()

@@ -75,12 +75,19 @@ def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG,
     light = emit == "csv"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf2gtfs_spark.kernel.payload import decode_payload_batch
+
         for pdf in batches:
             out: list[dict] = []
             tss = pdf["ts"] if with_ts else None
+            # one vectorized CSV parse for the whole Arrow batch
+            # (pyarrow C++ reader) instead of per-line str.split per
+            # turn — decode was ~35% of kernel time (guide §4.5)
+            decs = decode_payload_batch(list(pdf["text"]))
             for k, (conv_id, turn_idx, payload) in enumerate(zip(
                     pdf["conv_id"], pdf["turn_idx"], pdf["text"])):
-                res = extract_turn(payload, cfg, light=light)
+                res = extract_turn(payload, cfg, light=light,
+                                   decoded=decs[k])
                 base = {"conv_id": conv_id, "turn_idx": int(turn_idx),
                         "n_chars": res.n_chars, "n_fields": res.n_fields,
                         "malformed": res.malformed}
