@@ -464,6 +464,57 @@ def cap_drop_metrics(spark, d: DataFrame,
 
 
 # --- SimHash fingerprints (60-bit, token multiset) ---------------------------
+def _tok_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, toks): lowercased whitespace tokens AS AN ARRAY.
+
+    The lower()+regex-split stays in the JVM so its exact semantics
+    (Java \\s class, UTF8String toLowerCase) are shared with the r1-r5
+    relational formulations and the oracles; the Arrow kernels below
+    consume the ready-made arrays and never re-tokenize."""
+    return d.select("doc_id",
+                    _tokens_spark(F.lower(F.col("text"))).alias("toks"))
+
+
+def _md5int_py(s: str) -> int:
+    """Python twin of _md5int_spark: first 15 md5 hex chars -> 60-bit
+    int (same bytes, same value — see _minhash_kernel)."""
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _simhash_kernel(batches):
+    import numpy as np
+    import pandas as pd
+
+    sign_cache: dict = {}
+    pow2 = (np.int64(1) << np.arange(60, dtype=np.int64))
+
+    def signs(tok: str):
+        v = sign_cache.get(tok)
+        if v is None:
+            h = _md5int_py(tok)
+            v = np.array([(h >> b) & 1 for b in range(60)],
+                         dtype=np.int64) * 2 - 1
+            sign_cache[tok] = v
+        return v
+
+    from collections import Counter
+    for pdf in batches:
+        rows, out = [], []
+        for pos, toks in enumerate(pdf["toks"]):
+            if len(toks) == 0:     # token-less docs have no output row
+                continue
+            w = np.zeros(60, dtype=np.int64)
+            for tok, cnt in Counter(toks).items():
+                w += cnt * signs(tok)
+            rows.append(pos)
+            out.append(int(pow2[w > 0].sum()))
+        res = pd.DataFrame({"simhash": pd.Series(out, dtype="int64")})
+        res.insert(0, "doc_id",
+                   pdf["doc_id"].iloc[rows].reset_index(drop=True))
+        yield res
+
+
 @register("simhash_fingerprints", oracle=f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKENS_SQL.format(expr='lower(text)')}) AS tok
@@ -481,28 +532,18 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id ORDER BY doc_id
 """)
 def simhash_fingerprints(spark, sf_dir):
-    """One-pass bit-weight aggregation: a single groupBy(doc_id) with 60
-    conditional-sum expressions over the token-hash column. No row
-    multiplication before the doc-grain shuffle (the r01 version
-    crossJoined every token with 60 bit ids — a 60x blowup flagged as a
-    scale-killer); partial aggregation collapses each map partition to
-    one 60-column row per doc before shuffling."""
+    """Map-only Arrow kernel over per-doc token arrays (guide §4.2):
+    integer bit-weight accumulation with a per-task dictionary of
+    per-token sign vectors, so md5 runs once per DISTINCT token value
+    per task instead of once per token instance. The r5 version ran 60
+    conditional-sum expressions over the exploded 2.2M-row token-hash
+    stream plus a doc-grain shuffle; exact integer math means values
+    are unchanged. (r01 history: a tokens x 60 crossJoin, a 60x
+    blowup, removed then.)"""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(_tokens_spark(F.lower(F.col("text")))).alias("tok"))
-    hashed = toks.select("doc_id", _md5int_spark(F.col("tok")).alias("h"))
-    weights = [
-        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1))
-        .alias(f"w{b}")
-        for b in range(60)]
-    per_doc = hashed.groupBy("doc_id").agg(*weights)
-    simhash = F.lit(0).cast("bigint")
-    for b in range(60):
-        simhash = simhash + F.when(F.col(f"w{b}") > 0,
-                                   F.lit(1 << b).cast("bigint")).otherwise(0)
-    return (per_doc.select("doc_id",
-                           simhash.cast("bigint").alias("simhash"))
+    schema = ("doc_id " + d.schema["doc_id"].dataType.simpleString()
+              + ", simhash long")
+    return (_tok_arrays(d).mapInPandas(_simhash_kernel, schema)
             .orderBy("doc_id"))
 
 
@@ -680,8 +721,16 @@ def embedding_ivf_topk(spark, sf_dir):
                   .alias("v"))
     q = ed.where("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    corpus = ed.where("vec_id >= 5").select("vec_id",
-                                            F.col("v").alias("cv"))
+    # localCheckpoint: the corpus frame feeds FIVE consumers (seed
+    # slice, Lloyd assign, centroid join, list assign, candidate
+    # scoring, exact baseline) and the centroid frame three — without
+    # truncation each consumer re-ran the scan (and the Lloyd step,
+    # for cent) from scratch. The corpus is the query's working set
+    # (vectors only); at production scale an IVF index build
+    # materializes exactly this table anyway.
+    corpus = (ed.where("vec_id >= 5")
+              .select("vec_id", F.col("v").alias("cv"))
+              .localCheckpoint())
     seeds = corpus.where(f"vec_id < {5 + _IVF_K}").select(
         F.col("vec_id").alias("cid"), F.col("cv").alias("sv"))
 
@@ -697,7 +746,8 @@ def embedding_ivf_topk(spark, sf_dir):
             .groupBy("cl")
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("i", "v"))),
-                lambda s: s["v"]).alias("centroid")))
+                lambda s: s["v"]).alias("centroid"))
+            .localCheckpoint())
     lists = (corpus.crossJoin(F.broadcast(cent))
              .withColumn("cos", _cos_cols(F.col("cv"), F.col("centroid")))
              .groupBy("vec_id")
@@ -742,6 +792,34 @@ _MARKER_ROWS = ", ".join(
     f"('{lang}', '{w}')" for lang, ws in _LANG_MARKERS.items() for w in ws)
 
 
+def _langid_kernel(batches):
+    import pandas as pd
+
+    marker_lang = {w: lang for lang, ws in _LANG_MARKERS.items()
+                   for w in ws}
+    for pdf in batches:
+        langs, hits = [], []
+        for toks in pdf["toks"]:
+            counts: dict = {}
+            for tok in toks:
+                lang = marker_lang.get(tok)
+                if lang is not None:
+                    counts[lang] = counts.get(lang, 0) + 1
+            if counts:
+                # ORDER BY n_hits DESC, lang ASC — pick that first row
+                best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                langs.append(best[0])
+                hits.append(best[1])
+            else:
+                langs.append("und")
+                hits.append(0)
+        out = pd.DataFrame({"guessed_lang": langs,
+                            "n_hits": pd.Series(hits, dtype="int64")})
+        out.insert(0, "doc_id", pdf["doc_id"].reset_index(drop=True))
+        yield out
+
+
+
 @register("langid_stopword_vote", oracle=f"""
 WITH toks AS (
   SELECT doc_id, unnest({_TOKENS_SQL.format(expr='lower(text)')}) AS tok
@@ -762,23 +840,19 @@ LEFT JOIN (SELECT *, row_number() OVER (PARTITION BY doc_id
   ON d.doc_id = h.doc_id AND h.rk = 1
 ORDER BY d.doc_id
 """)
+
 def langid_stopword_vote(spark, sf_dir):
+    """Map-only Arrow kernel: per-doc marker counting + argmax in one
+    pass over the token arrays. The r5 version exploded 2.2M token
+    rows, broadcast-joined the 12 markers, aggregated, ranked with a
+    window, and left-joined back onto documents — four operators and
+    two exchanges doing what is a per-row fold (guide §4.2). Tie-break
+    (n_hits DESC, lang ASC) and the 'und'/0 default are preserved
+    exactly."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(_tokens_spark(F.lower(F.col("text")))).alias("tok"))
-    markers = spark.createDataFrame(
-        [(lang, w) for lang, ws in _LANG_MARKERS.items() for w in ws],
-        "lang string, w string")
-    hits = (toks.join(F.broadcast(markers), toks.tok == markers.w)
-            .groupBy("doc_id", "lang").agg(F.count("*").alias("n_hits")))
-    w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("lang"))
-    best = hits.withColumn("rk", F.row_number().over(w)).where("rk = 1")
-    return (d.select("doc_id")
-            .join(best, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("lang", F.lit("und")).alias("guessed_lang"),
-                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+    schema = ("doc_id " + d.schema["doc_id"].dataType.simpleString()
+              + ", guessed_lang string, n_hits long")
+    return (_tok_arrays(d).mapInPandas(_langid_kernel, schema)
             .orderBy("doc_id"))
 
 
@@ -845,6 +919,35 @@ def token_count(spark, sf_dir):
 
 
 # --- document fingerprint (position-bucketed xor hash) -------------------------
+def _fingerprint_kernel(batches):
+    import pandas as pd
+
+    cache: dict = {}
+
+    def hashes8(tok: str):
+        v = cache.get(tok)
+        if v is None:
+            v = [_md5int_py(f"{tok}@{j}") for j in range(8)]
+            cache[tok] = v
+        return v
+
+    for pdf in batches:
+        rows, fps = [], []
+        for pos, toks in enumerate(pdf["toks"]):
+            if len(toks) == 0:     # token-less docs have no output row
+                continue
+            fp = 0
+            for i, tok in enumerate(toks):
+                fp ^= hashes8(tok)[i & 7]
+            rows.append(pos)
+            fps.append(fp)
+        out = pd.DataFrame({"fingerprint": pd.Series(fps, dtype="int64")})
+        out.insert(0, "doc_id",
+                   pdf["doc_id"].iloc[rows].reset_index(drop=True))
+        yield out
+
+
+
 @register("doc_fingerprint", oracle=f"""
 WITH toks AS (
   SELECT doc_id, tok, (idx - 1) % 8 AS posb
@@ -859,20 +962,18 @@ SELECT doc_id,
            AS fingerprint
 FROM toks GROUP BY doc_id ORDER BY doc_id
 """)
+
 def doc_fingerprint(spark, sf_dir):
+    """Map-only Arrow kernel: per-doc xor fold over (token, pos%8)
+    hashes with a per-task dictionary of the 8 per-token md5 values —
+    md5 runs once per distinct (token, bucket) per task instead of per
+    token instance (2.2M posexplode rows + a doc-grain shuffle in the
+    r5 relational version). xor over the same multiset of 60-bit ints
+    is exact; duplicate (token, bucket) instances cancel identically."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(_tokens_spark(F.lower(F.col("text"))))
-        .alias("idx", "tok"))
-    h = _md5int_spark(
-        F.concat(F.col("tok"), F.lit("@"),
-                 (F.col("idx") % 8).cast("string")))
-    return (toks.groupBy("doc_id")
-            .agg(F.expr(
-                "bit_xor(cast(conv(substring(md5(concat(tok, '@', "
-                "cast(idx % 8 as string))), 1, 15), 16, 10) as bigint))")
-                .alias("fingerprint"))
+    schema = ("doc_id " + d.schema["doc_id"].dataType.simpleString()
+              + ", fingerprint long")
+    return (_tok_arrays(d).mapInPandas(_fingerprint_kernel, schema)
             .orderBy("doc_id"))
 
 
