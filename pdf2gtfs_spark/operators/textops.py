@@ -71,7 +71,12 @@ SELECT md5(text) AS content_hash,
 FROM documents GROUP BY md5(text) ORDER BY content_hash
 """)
 def dedup_exact(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # plain scan, no adaptive repartition: the only map-side work is
+    # md5 + partial agg and the groupBy exchange already spreads the
+    # reduce, so the extra repartition exchange buys nothing here
+    # (measured equal at sf1.0; every other textops query hangs far
+    # heavier kernels below the scan and keeps read_scaled)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (d.groupBy(F.md5("text").alias("content_hash"))
             .agg(F.count("*").alias("n_copies"),
                  F.min("doc_id").alias("keeper_doc_id"))
@@ -102,47 +107,51 @@ def dedup_prefix_key(spark, sf_dir):
 
 # --- character-4-gram shingles (shared by jaccard + minhash) -----------------
 
-def _shingles_spark(d: DataFrame) -> DataFrame:
-    """Distinct char-4-gram shingles per doc (1-based positions).
-
-    Docs shorter than 4 chars are dropped up front: Spark's
-    sequence(1, len-3) would infer step -1 for len < 4 and emit bogus
-    descending positions while DuckDB's generate_series is empty
-    (divergence flagged in ADVICE r01). The oracle mirrors the WHERE.
-    """
-    # Single pass over `documents` (VERDICT r3 ask #5): Generate
-    # RETAINS its input columns, so `text` rides along with the
-    # exploded positions and the old doc_id self-join to re-fetch it
-    # was never needed — one scan, all codegen, same distinct.
-    # A/B at sf0.1 local[32], interleaved noop-sink medians of 6
-    # (full evaluation — count() silently PRUNES the min(md5) work
-    # and inverts the comparison). Calm window (load ~1.8):
-    #   minhash_signatures  old 3.79 s  gen 3.67 s
-    #   minhash_lsh_pairs   old 5.84 s  gen 5.66 s
-    #   dedup_ngram_jaccard old 4.74 s  gen 7.50 s WITHOUT the merge
-    #     hints below — the fewer-scan stats make Catalyst broadcast
-    #     the whole inverted index (a corpus-scale OOM hazard);
-    # with the joins pinned to shuffle joins (same window, load ~3):
-    #   dedup_ngram_jaccard old 7.09 s  gen+hints 6.73 s.
-    # A higher-order-function variant (array_distinct(transform(..)))
-    # was also measured: 1 scan and no distinct shuffle, but the
-    # interpreted per-element eval lost 1.5-1.8x everywhere.
-    return (d.where(F.length("text") >= 4)
-            .select(
-                "doc_id", "text",
-                F.explode(F.sequence(F.lit(1),
-                                     F.length("text") - 3)).alias("pos"))
-            .select("doc_id",
-                    F.expr("substring(text, pos, 4)").alias("shingle"))
-            .distinct())
-
-
+# Shingle semantics shared by both engines: DISTINCT char-4-grams per
+# doc; docs shorter than 4 chars are dropped up front (Spark's
+# sequence(1, len-3) would infer step -1 for len < 4 and emit bogus
+# descending positions while DuckDB's generate_series is empty —
+# divergence flagged in ADVICE r01; the oracle mirrors the WHERE).
+# Plan history: r3-r5 used a relational explode+distinct (one scan,
+# all codegen — chosen over a measured-slower higher-order-function
+# variant), which still paid a full shuffle of the exploded stream
+# for the distinct; r6 computes the per-doc distinct in the map-only
+# set kernel below.
 _SHINGLES_SQL = """
 SELECT DISTINCT doc_id, substr(text, pos, 4) AS shingle
 FROM (SELECT doc_id, text,
              unnest(generate_series(1, length(text) - 3)) AS pos
       FROM documents WHERE length(text) >= 4)
 """
+
+
+def _shingles_kernel(batches):
+    """Per-doc DISTINCT char-4-grams via a map-only Arrow kernel: the
+    relational formulation's explode + (doc_id, shingle) distinct
+    needed a full shuffle of the ~15M-row shingle stream; a per-doc
+    Python set is the same distinct (slicing by code points, exactly
+    substring(text, pos, 4)) with no exchange at all. Insertion-order
+    output; consumers aggregate, so order is irrelevant."""
+    import pandas as pd
+    for pdf in batches:
+        ids, grams = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            seen = {text[i:i + 4] for i in range(len(text) - 3)}
+            ids.extend([doc_id] * len(seen))
+            grams.extend(seen)
+        out = pd.DataFrame({"shingle": pd.Series(grams, dtype=object)})
+        out.insert(0, "doc_id",
+                   pd.Series(ids, dtype=pdf["doc_id"].dtype))
+        yield out
+
+
+def _shingles_fast(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — see _SHINGLES_SQL note."""
+    schema = ("doc_id " + d.schema["doc_id"].dataType.simpleString()
+              + ", shingle string")
+    return (d.where(F.length("text") >= 4)
+            .select("doc_id", "text")
+            .mapInPandas(_shingles_kernel, schema))
 
 
 # --- n-gram Jaccard near-dup via inverted-index join -------------------------
@@ -180,8 +189,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # localCheckpoint: the shingle stream feeds FIVE consumers below
     # (sizes, the df aggregate, the semi join, and both self-join
     # sides) and exchange reuse does not fire across them, so without
-    # truncation the scan+explode+distinct pipeline (3.5 s at sf1.0)
-    # ran ~5x — measured 16.1 s -> 5.4 s with the checkpoint. The
+    # truncation the shingle pipeline ran ~5x — measured 16.1 ->
+    # 5.4 s at sf1.0 with the checkpoint, which also carries REAL size
+    # stats so Catalyst/AQE only broadcast a side that actually fits.
+    # The stream itself comes from the map-only set kernel
+    # (_shingles_fast): the relational explode+distinct cost a full
+    # 15M-row shuffle before materializing the same rows. The
     # materialized stream is MEMORY_AND_DISK (spills, never lost), and
     # at corpus scale storing it once still beats five recomputations
     # of the full text scan. (An earlier round measured .cache() of
@@ -189,7 +202,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # a session-lifetime MEMORY cache under a no-reuse plan — here the
     # blocks pay for themselves within the query and are dropped with
     # its lineage.)
-    sh = _shingles_spark(d).localCheckpoint()
+    sh = _shingles_fast(d).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     # df cap via hash aggregate + left_semi join: a count() window
     # SORTS the whole shingle stream per partition, while the
@@ -443,7 +456,7 @@ def cap_drop_metrics(spark, d: DataFrame,
     jaccard_cap = JACCARD_DF_CAP if jaccard_cap is None else jaccard_cap
     lsh_cap = LSH_BUCKET_CAP if lsh_cap is None else lsh_cap
     zero = F.lit(0).cast("bigint")
-    sh = _shingles_spark(d)
+    sh = _shingles_fast(d)
     jd = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
           .where(F.col("df") > jaccard_cap)
           .agg(F.count("*").alias("n_dropped_groups"),
