@@ -88,7 +88,16 @@ def _iceberg_snapshot_id(spark, table: str) -> str:
             f"SELECT snapshot_id FROM {table}.snapshots "
             f"ORDER BY committed_at DESC LIMIT 1").collect()
         return str(row[0][0]) if row else "no-snapshot"
-    except Exception:  # metadata table absent on plain catalogs
+    except Exception as e:  # metadata table absent on plain catalogs
+        # ADVICE r05 #4: never pin 'no-snapshot' silently — every run
+        # of a table whose .snapshots is unreadable would share one
+        # lineage snapshot id, so a resume against CHANGED input data
+        # would silently skip buckets committed from the older
+        # version. Warn loudly; pass --snapshot-id to silence.
+        print(f"WARNING: cannot read {table}.snapshots ({e!r}); "
+              "falling back to snapshot id 'no-snapshot'. Lineage "
+              "rows will NOT distinguish input versions — pass an "
+              "explicit --snapshot-id to pin one.", file=sys.stderr)
         return "no-snapshot"
 
 

@@ -994,13 +994,16 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
         _, slots = per_entry.setdefault(mrow["entry_id"], (mrow, []))
         for slot in slots:
             # dict probe: stored hash matches the new key, then the
-            # stored Stop compares equal (same object, or same
-            # (name, annotation) in its CURRENT state)
+            # stored Stop compares equal — same object, or equal
+            # (name, annotation) PAIR in its CURRENT state (the
+            # reference __eq__ compares the fields separately,
+            # stops.py:17-18; comparing the hash-concat string
+            # wrongly collapsed 'a b'/'c' with 'a'/'b c' — ADVICE r05)
             if slot[0] == key and (
                     slot[1] == p
                     or (slot[1] is not None and p is not None
-                        and f"{stop_names[slot[1]]} "
-                            f"{walk_annot[slot[1]]}" == key)):
+                        and stop_names[slot[1]] == stop_names[p]
+                        and walk_annot[slot[1]] == walk_annot[p])):
                 slot[3] = cells.text[i]
                 break
         else:

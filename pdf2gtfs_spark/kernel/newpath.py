@@ -854,12 +854,22 @@ class TypedTable:
                            if p is not None else None)
                     for slot in ent["values"]:
                         sk = slot[1]
+                        sp = pos_of_series.get(sk)
+                        # dict probe (ADVICE r05): stored hash == new
+                        # key, then the stored Stop compares equal —
+                        # identity (sp == p; None == None collapses
+                        # all stop-less rows onto the single None
+                        # slot, entries.py get_from_id -> None) or
+                        # current-state __eq__, which compares the
+                        # (name, annotation) PAIR, not the
+                        # hash-concat string (stops.py:17-21)
                         if slot[0] == key and (
-                                sk == k
-                                or (sk is not None and p is not None
-                                    and f"{stop_texts[pos_of_series[sk]].strip()} "
-                                        f"{annots_of_stop.get(sk, '')}"
-                                        == key)):
+                                sp == p
+                                or (sp is not None and p is not None
+                                    and stop_texts[sp].strip()
+                                        == stop_texts[p].strip()
+                                    and annots_of_stop.get(sk, "")
+                                        == annots_of_stop.get(k, ""))):
                             slot[2] = text
                             break
                     else:
@@ -970,6 +980,12 @@ class TypedTable:
         for r in range(g.n_enum_rows):
             for c in range(g.n_cols):
                 i = g.cells[r][c]
+                if i in g.absent_cells:
+                    # short-row / shadow PADDING — cells the reference
+                    # grid does not have at all; to_csv already
+                    # truncates them (short_rows), so the cells
+                    # surface must agree (ADVICE r05 #3)
+                    continue
                 b = bboxes[r, c]
                 recs.append({
                     "row_idx": r, "col_idx": c, "text": s.text[i],
