@@ -323,6 +323,56 @@ class TestVagLikeLayout:
         assert counts["Time"] == n_stops * n_trips
 
 
+class TestStoplessTimeRowCollapse:
+    """ADVICE r05 (high): TIME cells in rows WITHOUT a stop all map to
+    the reference's single None dict key (entries.py set_value with
+    get_from_id -> None): one slot per entry — LAST value wins, the
+    FIRST such row's id is retained. The r5 probe compared series
+    indices (never equal across rows), so every stop-less row appended
+    a fresh slot."""
+
+    def test_stopless_time_rows_share_one_none_slot(self):
+        from pdf2gtfs_spark.kernel.newpath import (
+            find_stops, tables_from_fields,
+        )
+
+        cells, xs = _block(100.0, n_stops=6, n_trips=3)
+        rows = [{"text": t, "x0": x0, "y0": y0,
+                 "x1": x0 + CHAR_W * max(1, len(t)), "y1": y0 + CHAR_H}
+                for t, x0, y0 in cells]
+        tts = tables_from_fields(pd.DataFrame(rows), NEW_CFG)
+        assert len(tts) == 1
+        tt = tts[0]
+        ty, g, s = tt.typer, tt.grid, tt.grid.store
+        o, stops = find_stops(ty)
+        assert len(stops) >= 5
+        # demote two stop cells: their rows become stop-less TIME rows
+        # (to_timetable re-derives the stop axis from ty.strict)
+        (k1, (r1, c1)), (k2, (r2, c2)) = stops[1], stops[2]
+        ty.strict[r1, c1] = ct.OTHER
+        ty.strict[r2, c2] = ct.OTHER
+        er, _ = tt.to_timetable(0, NEW_CFG)
+        assert er, "timetable must survive with >= 3 remaining stops"
+        by_entry: dict = {}
+        for row in er:
+            if row["stop_pos"] is None and row["value"] is not None:
+                by_entry.setdefault(row["entry_id"], []).append(row)
+        assert by_entry, "demoted rows must appear as stop-less values"
+        for e_id, noneless in by_entry.items():
+            # exactly ONE None slot per entry, first row id, last value
+            assert len(noneless) == 1, (e_id, noneless)
+            assert noneless[0]["stop_row_idx"] == k1
+        # the surviving value is the LATER row's time in each column
+        # (entry ids are renumbered in er, so compare as value sets)
+        time_cols = [c for c in range(g.n_cols)
+                     if ty.strict[k2, c] == ct.TIME]
+        assert time_cols
+        got_vals = {row["value"] for rows_ in by_entry.values()
+                    for row in rows_}
+        expect_vals = {s.text[g.cells[k2][c]] for c in time_cols}
+        assert got_vals == expect_vals
+
+
 class TestMergeAndDuplicateDays:
     def test_merge_tables_side_by_side(self):
         from pdf2gtfs_spark.kernel.newpath import (
