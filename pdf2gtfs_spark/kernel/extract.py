@@ -374,8 +374,20 @@ def chars_to_field_arrays(chars: pd.DataFrame,
 
     starts = np.flatnonzero(is_new)
     ends = np.append(starts[1:], n)
-    texts = np.array(["".join(ctext[s:e]).strip()
-                      for s, e in zip(starts, ends)], dtype=object)
+    # one join over the whole page, then C-level slices per field: the
+    # per-field "".join over object-array slices was ~10% of the kernel
+    # (guide §1.2 "per-task work"). In the common all-1-glyph case the
+    # char index IS the string offset; otherwise build offsets once.
+    joined = "".join(ctext)
+    if len(joined) == n:
+        texts = np.array([joined[s:e].strip()
+                          for s, e in zip(starts, ends)], dtype=object)
+    else:
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.fromiter(map(len, ctext), count=n, dtype=np.int64),
+                  out=offs[1:])
+        texts = np.array([joined[offs[s]:offs[e]].strip()
+                          for s, e in zip(starts, ends)], dtype=object)
     f = _Fields(
         text=texts,
         x0=np.minimum.reduceat(cx0, starts),
@@ -567,6 +579,20 @@ def _cluster_columns(body: _Fields, m: _Matchers) -> _Cells:
         "col_id", "line_id", "x0", "y0", "x1", "y1", "text", "ftype")])
 
 
+def _id_mask(ids: np.ndarray, wanted) -> np.ndarray:
+    """Membership mask for small non-negative int ids via a lookup
+    table; np.isin sorts both sides on every call, which at tens of
+    calls per turn was measurable (guide §1.2). Line ids are dense
+    0..n_lines-1 by construction (_anchor_cluster)."""
+    if len(ids) == 0:
+        return np.zeros(0, dtype=bool)
+    lut = np.zeros(int(ids.max()) + 1, dtype=bool)
+    for w in wanted:
+        if 0 <= w < len(lut):
+            lut[w] = True
+    return lut[ids]
+
+
 def _col_segments(cells: _Cells) -> tuple[np.ndarray, np.ndarray]:
     """(col_ids, segment starts) — cells are (col, y0)-sorted."""
     n = len(cells)
@@ -591,19 +617,30 @@ def _column_types(cells: _Cells, col_order: list[int],
     (sweep v4 seed 50315: side-by-side blocks stay ONE table)."""
     col_ids, starts = _col_segments(cells)
     ends = np.append(starts[1:], len(cells))
-    lens = np.array([len(t) for t in cells.text], dtype=float)
-    is_empty = (cells.text == "").astype(float)
-    is_annot = (cells.ftype == F_STOP_ANNOT)
-    is_data = (cells.ftype == F_DATA)
+    n = len(cells)
+    lens = np.fromiter(map(len, cells.text), count=n, dtype=np.float64)
+    is_empty = (cells.text == "").astype(np.float64)
+    is_annot = (cells.ftype == F_STOP_ANNOT).astype(np.uint8)
+    is_data = (cells.ftype == F_DATA).astype(np.uint8)
+
+    # per-column aggregates in four reduceat passes instead of per-col
+    # numpy calls (each np.mean/sum/any on a tiny slice costs ~10us of
+    # dispatch; lens are exact small ints so sum/count == np.mean bit
+    # for bit)
+    counts = (ends - starts).astype(np.float64)
+    mean_lens = np.add.reduceat(lens, starts) / counts
+    n_emptys = np.add.reduceat(is_empty, starts)
+    has_annots = np.maximum.reduceat(is_annot, starts)
+    has_datas = np.maximum.reduceat(is_data, starts)
 
     stats = {}
-    for cid, s, e in zip(col_ids, starts, ends):
+    for k, (cid, s, e) in enumerate(zip(col_ids, starts, ends)):
         stats[cid] = (
-            float(lens[s:e].mean()),            # mean_len
+            float(mean_lens[k]),                # mean_len
             int(e - s),                         # n_fields
-            int(is_empty[s:e].sum()),           # n_empty
-            bool(is_annot[s:e].any()),
-            bool(is_data[s:e].any()),
+            int(n_emptys[k]),                   # n_empty
+            bool(has_annots[k]),
+            bool(has_datas[k]),
             "\n".join(cells.text[s:e]),
         )
     types: dict[int, str] = {}
@@ -651,7 +688,7 @@ def _analyze_table(tf: _Fields, line_order: list[int],
     row_type_of_line = dict(zip(line_order, rtypes))
     body_lines = {lid for lid, t in zip(line_order, rtypes)
                   if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)}
-    body_mask = np.isin(tf.line_id, list(body_lines))
+    body_mask = _id_mask(tf.line_id, body_lines)
     if not body_mask.any():
         return None
     cells = _cluster_columns(tf.take(body_mask), m)
@@ -735,12 +772,13 @@ def table_to_csv(a: _TableAnalysis, placeable: _Fields) -> str:
     grid = np.full((n_rows, n_cols), "", dtype=object)
 
     cells = a.cells
-    for i in range(len(cells)):
-        t = cells.text[i].replace('"', "").strip()
+    line_to_row = a.line_to_row
+    for lid, cid, txt in zip(cells.line_id.tolist(),
+                             cells.col_id.tolist(), cells.text):
+        t = txt.replace('"', "").strip()
         if "," in t:
             t = f'"{t}"'
-        grid[a.line_to_row[cells.line_id[i]],
-             col_pos[cells.col_id[i]]] = t
+        grid[line_to_row[lid], col_pos[cid]] = t
 
     if len(placeable):
         # first col whose x0 > field.x0; else last (pdftable.py:197-205)
@@ -753,7 +791,8 @@ def table_to_csv(a: _TableAnalysis, placeable: _Fields) -> str:
                           n_cols - 1)
         for lid, c, txt in zip(placeable.line_id, idxs, placeable.text):
             grid[a.line_to_row[lid], c] = txt
-    lines = [",".join(row) for row in grid if any(row)]
+    nonempty = (grid != "").any(axis=1)
+    lines = [",".join(row) for row, ne in zip(grid, nonempty) if ne]
     return "\n".join(lines) + "\n"
 
 
@@ -1156,7 +1195,7 @@ def extract_turn(payload: str,
 
     table_id = 0
     for line_order in tables:
-        tf = fields.take(np.isin(fields.line_id, list(set(line_order))))
+        tf = fields.take(_id_mask(fields.line_id, set(line_order)))
         if len(tf) == 0:
             continue
         analysis = _analyze_table(tf, line_order, m)
@@ -1187,7 +1226,7 @@ def _merge_mutated_fields(a: _TableAnalysis, m: _Matchers) -> _Fields:
     tf = a.tfields
     body_lines = {lid for lid, t in zip(a.line_order, a.rtypes)
                   if t in (R_DATA, R_ANNOTATION, R_ROUTE_INFO)}
-    body_idx = np.flatnonzero(np.isin(tf.line_id, list(body_lines)))
+    body_idx = np.flatnonzero(_id_mask(tf.line_id, body_lines))
     if len(body_idx) == 0:
         return tf
     text = tf.text.copy()
