@@ -633,12 +633,17 @@ class Grid:
         return [(ux0[k], uy0[k], ux1[k], uy1[k]) if valid[k] else None
                 for k in range(len(valid))]
 
-    def _select_adjacent(self, d: int, pool: list[int]) -> list[int]:
+    def _select_adjacent(self, d: int, pool: list[int],
+                         raw_stripes: Optional[list] = None) -> list[int]:
         """Bounds.select_adjacent_cells + the module-level overlap
         filter with its single-removal quirk (bounds.py:82-124,
-        360-383)."""
+        360-383).  ``raw_stripes``: the caller's _stripes(d) result —
+        expand() needs the same list right after, and the grid does not
+        change in between, so computing it twice was pure waste."""
         s = self.store
-        stripes = [b for b in self._stripes(d) if b is not None]
+        if raw_stripes is None:
+            raw_stripes = self._stripes(d)
+        stripes = [b for b in raw_stripes if b is not None]
         if not stripes:
             return []
         sx0 = min(b[0] for b in stripes)
@@ -704,7 +709,10 @@ class Grid:
         mmask = within_mask(cx0, cy0, cx1, cy1, w, e, n_b, s_b)
         min_cells = [i for i, keep in zip(cells, mmask.tolist()) if keep]
 
-        # transitive overlap closure (0.8 in d's orientation axis)
+        # transitive overlap closure (0.8 in d's orientation axis);
+        # scalar loops deliberately — candidate sets are a handful of
+        # cells, where numpy pairwise matrices cost more than they save
+        # (measured both ways this round)
         if d in (N, S):
             lo, hi = s.y0, s.y1
         else:
@@ -746,11 +754,24 @@ class Grid:
             start = hit
         return adjacent
 
-    def expand(self, d: int) -> bool:
-        """One expansion step in direction d (table.py:215-257)."""
+    def expand(self, d: int,
+               _stripe_cache: Optional[dict] = None) -> bool:
+        """One expansion step in direction d (table.py:215-257).
+
+        ``_stripe_cache``: expand_all's per-fixpoint stripe memo —
+        stripes depend only on grid structure + ref-cell coords, both
+        of which change inside the loop only via a SUCCESSFUL expand
+        (which clears the cache), so failed direction probes stop
+        recomputing the same gathers every round."""
         s = self.store
         assert self.potential is not None
-        adjacent = self._select_adjacent(d, self.potential)
+        raw_stripes = (_stripe_cache.get(d)
+                       if _stripe_cache is not None else None)
+        if raw_stripes is None:
+            raw_stripes = self._stripes(d)
+            if _stripe_cache is not None:
+                _stripe_cache[d] = raw_stripes
+        adjacent = self._select_adjacent(d, self.potential, raw_stripes)
         if not adjacent:
             return False
 
@@ -765,8 +786,10 @@ class Grid:
             adjacent = sorted(merged, key=lambda i: s.y0[i])
 
         # merge_small_cells: consecutive incoming cells overlapping the
-        # same ref stripe merge (table.py:1074-1136)
-        stripes = self._stripes(d)
+        # same ref stripe merge (table.py:1074-1136).  raw_stripes is
+        # still current: nothing above mutates GRID cells (the W/E
+        # merges touch only incoming pool cells).
+        stripes = raw_stripes
         rel = s.cfg.min_cell_overlap
         if d in (N, S):
             c_lo, c_hi, g_lo, g_hi = s.x0, s.x1, 0, 2
@@ -836,8 +859,11 @@ class Grid:
         """Fixpoint over the configured directions (table.py:259-267)."""
         dirs = [{"N": N, "W": W, "S": S, "E": E}[name]
                 for name in self.store.cfg.table_expansion_directions]
+        cache: dict = {}
         expanded = True
         while expanded:
             expanded = False
             for d in dirs:
-                expanded |= self.expand(d)
+                if self.expand(d, cache):
+                    cache.clear()
+                    expanded = True
