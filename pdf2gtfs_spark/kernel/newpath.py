@@ -95,9 +95,11 @@ class Typer:
         # their own expand-merges finish (sweep seed 50713: resolving
         # the whole store at grid 0's TypedTable froze '5:45' pre-merge
         # for grid 2's '5:45 *6.02').
-        for i in {int(v) for v in idx.ravel()}:
-            if s.P[i] is None:
-                s._ensure_P(i)
+        P = s.P
+        for row in g.cells:
+            for i in row:
+                if P[i] is None:
+                    s._ensure_P(i)
         nan_row = np.full(ct.N_TYPES, np.nan)
         Pm = (np.stack([p if p is not None else nan_row for p in s.P])
               if n else np.zeros((0, ct.N_TYPES)))
@@ -108,7 +110,8 @@ class Typer:
         # strict type per store cell: inferred if set, else the
         # rank-vector argmax (celltypes.strict_guess == strict_type)
         store_strict = ct.strict_guess(Pm, fb)
-        store_strict[np.isnan(Pm).all(axis=1)] = OTHER
+        nanm = np.isnan(Pm)          # shared with the memb gather below
+        store_strict[nanm.all(axis=1)] = OTHER
         has_inf = inferred >= 0
         store_strict[has_inf] = inferred[has_inf]
         self.strict = store_strict[idx]
@@ -147,13 +150,15 @@ class Typer:
             cs_x1 = np.nanmax(X1, axis=0)
             rs_y0 = np.nanmin(Y0, axis=1)
             rs_y1 = np.nanmax(Y1, axis=1)
-        own = np.stack([X0, Y0, X1, Y1], axis=2)
-        stripe = np.stack([np.broadcast_to(cs_x0, (R, C)),
-                           np.broadcast_to(rs_y0[:, None], (R, C)),
-                           np.broadcast_to(cs_x1, (R, C)),
-                           np.broadcast_to(rs_y1[:, None], (R, C))],
-                          axis=2)
-        self.bbox_arr = np.where(self.empty[:, :, None], stripe, own)
+        # four broadcasting writes instead of two (R, C, 4) stacks +
+        # a where (refresh is ~20% of the kernel; measured per block)
+        emp2 = self.empty
+        bbox = np.empty((R, C, 4))
+        bbox[:, :, 0] = np.where(emp2, cs_x0[None, :], X0)
+        bbox[:, :, 1] = np.where(emp2, rs_y0[:, None], Y0)
+        bbox[:, :, 2] = np.where(emp2, cs_x1[None, :], X1)
+        bbox[:, :, 3] = np.where(emp2, rs_y1[:, None], Y1)
+        self.bbox_arr = bbox
         # first-non-empty neighbor index per direction (emptiness is
         # static during a sweep; mutators call refresh())
         rows_i = np.broadcast_to(np.arange(R)[:, None], (R, C))
@@ -175,7 +180,7 @@ class Typer:
                              axis=2).astype(np.int32)
         # static per-sweep primitives for the vectorized REL helpers:
         # type-membership matrix, text length / letter counts.
-        self.memb = ~np.isnan(Pm)[idx]
+        self.memb = ~nanm[idx]
         lens = np.fromiter((len(t) for t in s.text),
                            count=n, dtype=np.int32)
         # letter counting is a per-char Python scan; texts repeat
