@@ -463,8 +463,14 @@ def _split_lines_into_tables(line_ids: np.ndarray, y0: np.ndarray,
 def _row_types(tf: _Fields, line_order: list[int]) -> list[str]:
     """Row type ladder (pdftable/container.py:221-230) via per-type
     line_id membership sets."""
-    sets = {t: set(tf.line_id[tf.ftype == t]) for t in
+    # one pass over the fields instead of four object-array equality
+    # scans (ftype is dtype=object; each `== t` compares every string)
+    sets = {t: set() for t in
             (F_HEADER, F_ROW_ANNOT, F_ROUTE_INFO, F_DATA)}
+    for lid, ft in zip(tf.line_id.tolist(), tf.ftype):
+        s_ = sets.get(ft)
+        if s_ is not None:
+            s_.add(lid)
     out = []
     for line in line_order:
         if line in sets[F_HEADER]:
