@@ -180,6 +180,18 @@ class TypeMatchers:
         row[OTHER] = fb_other
         return row, True
 
+    def guess_one_cached(self, t: str) -> tuple[np.ndarray, bool]:
+        """Single-text guess via the memo, without the (1, N_TYPES)
+        array round-trip of guess_list — the lazy duplicate-resolve
+        path (_ensure_P) calls this tens of times per turn.  The
+        returned row is the SHARED memo row; callers must copy."""
+        hit = self._guess_memo.get(t)
+        if hit is None:
+            hit = self._guess_one(t)
+            if len(self._guess_memo) < 200_000:
+                self._guess_memo[t] = hit
+        return hit
+
     def guess(self, texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
         return self.guess_list(list(texts))
 

@@ -789,13 +789,16 @@ class TypedTable:
         g, s, ty = self.grid, self.grid.store, self.typer
         bad = (OTHER, LEGEND_IDENT, LEGEND_VALUE)
         lines = []
+        stext = s.text
         for r in range(g.n_enum_rows):
             texts = []
-            for c in range(g.short_rows.get(r, g.n_cols)):
-                if ty.strict[r, c] in bad:
+            row = g.cells[r]
+            srow = ty._strict_l[r]       # list mirror: ~5x faster than
+            for c in range(g.short_rows.get(r, g.n_cols)):  # np scalar
+                if srow[c] in bad:
                     texts.append("")
                     continue
-                t = s.text[g.cells[r][c]].replace('"', "")
+                t = stext[row[c]].replace('"', "")
                 texts.append(f'"{t}"' if "," in t else t)
             for i in g.tails.get(r, ()):     # ragged row tails (quirk)
                 if s.strict_type(i) in bad:

@@ -193,9 +193,9 @@ class CellStore:
         """Resolve a duplicate's pending lazy guess from CURRENT text
         (CellType.guess_type on first access, celltype.py:49-58)."""
         if self.P[i] is None:
-            P, fb = self.matchers.guess_list([self.text[i]])
-            self.P[i] = P[0]
-            self.fallback[i] = bool(fb[0])
+            row, fb = self.matchers.guess_one_cached(self.text[i])
+            self.P[i] = row.copy()
+            self.fallback[i] = bool(fb)
 
     # -- type queries (celltype.py argmax semantics) ---------------------
 
