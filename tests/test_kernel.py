@@ -172,6 +172,24 @@ class TestPayloadCodec:
         _, chars = decode_payload(payload)
         assert chars["text"].iloc[0] == "A"
 
+    def test_multi_glyph_field_texts_use_offset_slices(self):
+        # chars_to_field_arrays builds field texts by slicing ONE
+        # page-level join; when any char text is multi-glyph (an
+        # unrepairable '(cid:' survivor stays multi-char), the char
+        # index is no longer the string offset and the cumulative-
+        # length fallback must produce the same concatenation as the
+        # old per-field join.
+        from pdf2gtfs_spark.kernel.extract import (
+            DEFAULT_CONFIG, chars_to_fields)
+        payload = ("PAGE\t0\t0\t200\t100\n"
+                   "10\t10\t15\t18\tA\n"
+                   "15\t10\t20\t18\t(cid:xx)\n"    # stays '(cid:xx)'
+                   "20\t10\t25\t18\tB\n"
+                   "60\t10\t65\t18\tC\n")          # gap -> new field
+        _, chars = decode_payload(payload)
+        fields = chars_to_fields(chars, DEFAULT_CONFIG)
+        assert fields["text"].tolist() == ["A(cid:xx)B", "C"]
+
 
 class TestGoldenFixtures:
     """The per-turn text-equality invariant (BASELINE.json north_rule):
