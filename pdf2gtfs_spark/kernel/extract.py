@@ -130,10 +130,27 @@ class TableResult:
     def stops(self) -> pd.DataFrame:
         return self._frame("stops", STOP_COLUMNS)
 
-    def records(self, attr: str, cols: list[str]) -> list[dict]:
+    def records(self, attr: str, cols: list[str],
+                allow_extra: tuple = ()) -> list[dict]:
         recs = getattr(self, f"_{attr}_records")
         if recs is None:
             return getattr(self, f"_{attr}")[cols].to_dict("records")
+        # fast path: the kernel builds each record list with one dict
+        # comprehension, so when the first record's keys already equal
+        # ``cols`` every record does and the per-record copy (~27% of
+        # the full-emit kernel, measured) is pure waste.  allow_extra:
+        # keys the caller's consumer drops by itself — the Arrow
+        # struct conversion matches dict keys BY NAME and ignores
+        # extras (pinned by tests), so the pipeline can ship stored
+        # records carrying table_id untouched.  Callers treat the
+        # result as read-only.
+        if recs:
+            keys = list(recs[0].keys())
+            if keys == cols:
+                return recs
+            if allow_extra and \
+                    [k for k in keys if k not in allow_extra] == cols:
+                return recs
         return [{k: r.get(k) for k in cols} for r in recs]
 
 
@@ -890,10 +907,17 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
     (metadata) or per cell over numpy arrays — no frame ops."""
     cells = a.cells
     n = len(cells)
-    rt = np.array([a.row_type_of_line[l] for l in cells.line_id],
+    # python-list views for the per-cell loops below (numpy scalar
+    # indexing and np.int64 dict keys cost ~5x their list/int
+    # equivalents; this function walks every cell)
+    lids_l = cells.line_id.tolist()
+    cids_l = cells.col_id.tolist()
+    texts_l = cells.text.tolist()
+    rt = np.array([a.row_type_of_line[l] for l in lids_l],
                   dtype=object)
-    row_idx = np.array([a.line_to_row[l] for l in cells.line_id])
-    ctype = np.array([a.col_types[c] for c in cells.col_id], dtype=object)
+    row_l = [a.line_to_row[l] for l in lids_l]
+    row_idx = np.array(row_l)
+    ctype = np.array([a.col_types[c] for c in cids_l], dtype=object)
 
     # stops: DATA-row cells of STOP columns, already in (col, y0) order
     stop_mask = (ctype == C_STOP) & (rt == R_DATA)
@@ -1020,15 +1044,17 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
         return vis
 
     walk_annot = [""] * len(stop_names)
+    am_l = annot_mask.tolist()
+    vm_l = value_mask.tolist()
     for i in range(n):                  # cells are in (col, y0) order
-        cid = cells.col_id[i]
-        r = int(row_idx[i])
-        if annot_mask[i]:
+        cid = cids_l[i]
+        r = row_l[i]
+        if am_l[i]:
             p = _visible(cid).get(r)
             if p is not None:
-                walk_annot[p] = cells.text[i]
+                walk_annot[p] = texts_l[i]
             continue
-        if not value_mask[i]:
+        if not vm_l[i]:
             continue
         mrow = meta.get(cid)
         if mrow is None:
@@ -1049,10 +1075,10 @@ def _normalize_timetable(table_id: int, a: _TableAnalysis,
                     or (slot[1] is not None and p is not None
                         and stop_names[slot[1]] == stop_names[p]
                         and walk_annot[slot[1]] == walk_annot[p])):
-                slot[3] = cells.text[i]
+                slot[3] = texts_l[i]
                 break
         else:
-            slots.append([key, p, r, cells.text[i]])
+            slots.append([key, p, r, texts_l[i]])
     entries_records = []
     for e_id in sorted(per_entry):
         mrow, slots = per_entry[e_id]

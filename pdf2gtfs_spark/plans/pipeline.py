@@ -102,11 +102,18 @@ def make_extract_kernel(cfg: ExtractConfig = DEFAULT_CONFIG,
                 for tid, t in enumerate(res.tables):
                     row = {**base, "table_id": tid, "csv_text": t.csv_text}
                     if not light:
+                        # allow_extra: Arrow's struct conversion maps
+                        # dict keys by name and drops extras, so the
+                        # stored records (which carry table_id for the
+                        # frame accessors) ship without a per-record
+                        # copy (~27% of this kernel, measured)
                         row.update(
                             cells=t.records("cells", _CELL_STRUCT_COLS),
                             entries=t.records("entries",
-                                              _ENTRY_STRUCT_COLS),
-                            stops=t.records("stops", _STOP_STRUCT_COLS))
+                                              _ENTRY_STRUCT_COLS,
+                                              allow_extra=("table_id",)),
+                            stops=t.records("stops", _STOP_STRUCT_COLS,
+                                            allow_extra=("table_id",)))
                     out.append(row)
             yield pd.DataFrame(out)
 

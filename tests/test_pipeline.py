@@ -102,3 +102,26 @@ class TestLineageResume:
             spark, tdf, out, run_id="r3", input_snapshot_id="s1",
             n_buckets=4, group_size=2)
         assert third == []
+
+
+class TestArrowStructContract:
+    def test_struct_conversion_drops_extra_dict_keys_by_name(self, spark):
+        # The full-emit kernel ships stored record dicts that carry a
+        # table_id key the pipeline struct schema does not declare
+        # (TableResult.records allow_extra); this pins the Arrow
+        # behavior that makes that safe: struct fields are matched by
+        # dict key NAME and undeclared keys are dropped.
+        import pandas as pd
+
+        def kern(batches):
+            for _ in batches:
+                yield pd.DataFrame({
+                    "id": [1],
+                    "ents": [[{"table_id": 9, "a": 5, "b": "x"},
+                              {"b": "y", "a": 6, "table_id": 8}]],
+                })
+
+        out = (spark.range(1).toDF("x")
+               .mapInPandas(kern, "id int, ents array<struct<a:int, b:string>>")
+               .collect())
+        assert [tuple(r) for r in out[0].ents] == [(5, "x"), (6, "y")]
