@@ -207,26 +207,72 @@ def expand_repeats(entries: DataFrame, stop_times: DataFrame,
         reps = reps.withColumn(
             "deltas", F.col("repeat_intervals").cast("array<double>"))
 
-    trips = (entries.where("kind = 'time'")
-             .select("conv_id", "turn_idx", "table_id", "entry_id")
+    # Anchor pairing follows the reference handler loop EXACTLY
+    # (handler.py:175-216): ``previous`` advances ONLY when a timed
+    # entry is processed with NO pending repeat, so stacked repeat
+    # sandwiches (time, repeat, time, repeat, time) all anchor on the
+    # entry before the FIRST repeat — the naive nearest-neighbor lag()
+    # used before r6 anchored each repeat on its left neighbor and
+    # diverged on multi-repeat tables (sweep seed 97194).  Also
+    # mirrored: a days-pattern change resets previous=None
+    # (same_days, calendar.py:109-115), a repeat with previous=None is
+    # skipped (handler.py:205-210), a repeat entry WITHOUT intervals
+    # CLEARS the pending repeat, and a later repeat replaces an
+    # earlier pending one (handler.py:182-184).  Same per-table walk
+    # shape as service_day_offsets below: groups are single tables, so
+    # the recurrence stays local at any scale.
+    ent2 = entries.where("kind IN ('time', 'repeat')")
+    days_key2 = F.array_join(F.coalesce(
+        F.col("days"), F.array().cast("array<string>")), ",")
+    repeat_ok2 = ((F.col("kind") == "repeat")
+                  & F.col("repeat_intervals").isNotNull()
+                  & (F.size("repeat_intervals") > 0))
+    meta2 = (ent2.select("conv_id", "turn_idx", "table_id", "entry_id",
+                         "kind", days_key2.alias("days_key"),
+                         repeat_ok2.alias("repeat_ok"))
              .distinct())
-    wt = Window.partitionBy("conv_id", "turn_idx", "table_id").orderBy(
-        "entry_id")
-    ordered = trips.withColumn(
-        "prev_entry", F.lag("entry_id").over(wt))
-    # repeat entry k sits between entries with ids k-1 and k+1 in the
-    # kernel's column traversal; anchor = nearest timed neighbors
-    anchored = (reps.alias("r")
-                .join(ordered.alias("n"),
-                      (F.col("r.conv_id") == F.col("n.conv_id"))
-                      & (F.col("r.turn_idx") == F.col("n.turn_idx"))
-                      & (F.col("r.table_id") == F.col("n.table_id"))
-                      & (F.col("n.entry_id") > F.col("r.entry_id"))
-                      & (F.col("n.prev_entry") < F.col("r.entry_id")))
-                .select("r.conv_id", "r.turn_idx", "r.table_id",
-                        "r.deltas",
-                        F.col("n.prev_entry").alias("prev_entry"),
-                        F.col("n.entry_id").alias("next_entry")))
+
+    def pair_walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        rows = []
+        prev = None
+        prev_days = None
+        pending = None
+        sub = pdf.sort_values("entry_id")
+        conv = pdf["conv_id"].iloc[0]
+        turn = pdf["turn_idx"].iloc[0]
+        tab = pdf["table_id"].iloc[0]
+        for eid, kind, dk, rok in zip(sub["entry_id"], sub["kind"],
+                                      sub["days_key"],
+                                      sub["repeat_ok"]):
+            if kind == "repeat":
+                pending = int(eid) if rok else None
+                continue
+            if prev_days is not None and dk != prev_days:
+                prev = None
+            if pending is None:
+                prev = int(eid)
+            else:
+                if prev is not None:
+                    rows.append((conv, int(turn), int(tab),
+                                 pending, prev, int(eid)))
+                pending = None
+            prev_days = dk
+        return pd.DataFrame(rows, columns=[
+            "conv_id", "turn_idx", "table_id", "entry_id",
+            "prev_entry", "next_entry"])
+
+    pairs = (meta2.groupBy("conv_id", "turn_idx", "table_id")
+             .applyInPandas(pair_walk,
+                            "conv_id string, turn_idx int, "
+                            "table_id int, entry_id int, "
+                            "prev_entry int, next_entry int"))
+    anchored = (reps.join(pairs,
+                          ["conv_id", "turn_idx", "table_id",
+                           "entry_id"])
+                .select("conv_id", "turn_idx", "table_id", "deltas",
+                        "prev_entry", "next_entry"))
     key = F.concat_ws("/", "conv_id", "turn_idx", "table_id")
     anchored = (anchored
                 .withColumn("prev_trip",

@@ -958,9 +958,28 @@ def select_and_interpolate(found: pd.DataFrame) -> pd.DataFrame:
     makes all counts 1) and interpolate_missing_node_locations over
     the first-seen stop order."""
     found = found.sort_values(["rank", "stop_pos"], kind="stable")
+    # Within ONE route chain the reference keeps the LAST occurrence
+    # of a duplicated stop_id (find_stop_nodes builds a plain dict
+    # over the chain, locate/finder/__init__.py:186 — a cyclic route
+    # ending on its first stop therefore reports that stop's END node,
+    # typically the missing one), while the dict preserves first-seen
+    # KEY order. Across routes the first non-missing node in route
+    # order wins (select_best_nodes: counts are all 1, max takes the
+    # first). First-wins-within-chain diverged on cyclic routes
+    # (sweep seeds 97021/97174).
+    chain_rows: list[dict] = []
+    per: dict[str, dict] = {}
+    cur_rank = None
+    for row in found.to_dict("records"):
+        if row["rank"] != cur_rank:
+            chain_rows.extend(per.values())
+            per = {}
+            cur_rank = row["rank"]
+        per[row["stop_id"]] = row      # last wins, key order first-seen
+    chain_rows.extend(per.values())
     best: dict[str, dict] = {}
     order: list[str] = []
-    for row in found.to_dict("records"):
+    for row in chain_rows:
         sid = row["stop_id"]
         if sid not in best:
             best[sid] = row

@@ -131,6 +131,45 @@ class TestRepeatExpansion:
             assert (secs[1]["arr_seconds"] - secs[0]["arr_seconds"]
                     == 600)  # 10-minute spacing preserved
 
+    def test_stacked_repeats_anchor_on_first_entry(self, spark):
+        # handler.py:175-216: ``previous = current`` runs only when no
+        # repeat is pending, so in (time0, rep1, time2, rep3, time4)
+        # BOTH repeats anchor on time0 — copies are time0 shifted, with
+        # time0's per-stop offsets, bounded by each repeat's own right
+        # anchor (sweep seed 97194; the pre-r6 nearest-neighbor pairing
+        # wrongly anchored rep3 on time2).
+        rows = [_mk(0, 0, "Stop Alpha Long", "8.00"),
+                _mk(0, 1, "Stop Beta Long", "8.10"),
+                ("c", 0, 0, 1, "repeat", "", "", [], [], [25],
+                 None, None, None, None, "alle"),
+                _mk(2, 0, "Stop Alpha Long", "8.40"),
+                _mk(2, 1, "Stop Beta Long", "8.55"),   # +15 offsets
+                ("c", 0, 0, 3, "repeat", "", "", [], [], [20],
+                 None, None, None, None, "alle"),
+                _mk(4, 0, "Stop Alpha Long", "9.10"),
+                _mk(4, 1, "Stop Beta Long", "9.20")]
+        e = _entries_df(spark, rows)
+        st = build_stop_times(e, build_stops(e))
+        rep = expand_repeats(e, st).collect()
+        trips = {}
+        for r in rep:
+            trips.setdefault(r["trip_id"], []).append(r)
+        got = sorted(
+            (min(r["arr_seconds"] for r in rows),
+             max(r["arr_seconds"] for r in rows)
+             - min(r["arr_seconds"] for r in rows))
+            for rows in trips.values())
+        # rep1: time0+25 = 8:25 (< 8:40); rep3: time0+20k < 9:10
+        # -> 8:20, 8:40(=time2 start but measured at time0's stops,
+        # 9:00) — ALL with time0's +10-minute spacing, never time2's
+        # +15
+        assert all(span == 600 for _, span in got)
+        assert [s for s, _ in got] == [
+            8 * 3600 + 20 * 60,   # rep3 k=1
+            8 * 3600 + 25 * 60,   # rep1 k=1
+            8 * 3600 + 40 * 60,   # rep3 k=2
+            9 * 3600]             # rep3 k=3 (9:00 < 9:10)
+
 
 class TestCalendarAndTrips:
     def test_calendar_dedup(self, spark):
