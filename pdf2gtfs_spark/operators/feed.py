@@ -32,9 +32,9 @@ from pdf2gtfs_spark.config import DEFAULT_CONFIG, ExtractConfig
 from pdf2gtfs_spark.operators import register
 from pdf2gtfs_spark.operators._aux import aux_glob, aux_path, write_aux_spark
 from pdf2gtfs_spark.operators.gtfs import (
-    _ST_TIME_RE, _md5_id, apply_service_day_offsets, build_calendar,
-    build_stop_times, build_stops, build_trips, expand_repeats,
-    service_day_offsets,
+    _ST_TIME_RE, _md5_id, _time_parse_cols, annots_key_col,
+    apply_service_day_offsets, build_calendar, build_stop_times,
+    build_stops, build_trips, expand_repeats, service_day_offsets,
 )
 
 AGENCY_ROW = ("0", "pdf2gtfs", "https://example.com", "Europe/Berlin")
@@ -66,8 +66,12 @@ def build_routes(entries: DataFrame,
              .withColumn("trip_key",
                          F.concat_ws("/", "conv_id", "turn_idx",
                                      "table_id", "entry_id")))
-    parseable = timed.where(
-        F.regexp_replace("value", " ", "").rlike(_ST_TIME_RE))
+    # names_from_entry runs RAW strptime (routes.py:149-152): no
+    # space strip (unlike Time.from_string) and strict field ranges —
+    # '5. 35' and '5.62' are not route-name anchors (gtfs sweep v4)
+    raw_is_time, _ = _time_parse_cols(F.col("value"), cfg.time_format,
+                                      bounded=True)
+    parseable = timed.where(raw_is_time)
     per_trip = (parseable.groupBy("trip_key")
                 .agg(F.min_by("stop_name", "stop_pos").alias("first_stop"),
                      F.max_by("stop_name", "stop_pos").alias("last_stop"),
@@ -108,13 +112,12 @@ def trip_route_service(entries: DataFrame,
             F.array_join(F.coalesce(
                 F.col("days"), F.array().cast("array<string>")), ","))
     if "annots_key" not in timed.columns:
-        timed = timed.withColumn(
-            "annots_key",
-            F.array_join(F.coalesce(
-                F.col("annotations"),
-                F.array().cast("array<string>")), ","))
-    parseable = timed.where(
-        F.regexp_replace("value", " ", "").rlike(_ST_TIME_RE))
+        timed = timed.withColumn("annots_key", annots_key_col())
+    # must mirror build_routes' raw-strptime anchor rule (see NOTE
+    # there): the trip's route key comes from the same first/last pair
+    raw_is_time, _ = _time_parse_cols(F.col("value"), cfg.time_format,
+                                      bounded=True)
+    parseable = timed.where(raw_is_time)
     per_trip = (parseable.groupBy("trip_id")
                 .agg(F.min_by("stop_name", "stop_pos").alias("first_stop"),
                      F.max_by("stop_name", "stop_pos").alias("last_stop"),
@@ -265,10 +268,7 @@ def _materialize_feed_entries(spark) -> DataFrame:
                            F.col("days"),
                            F.array().cast("array<string>")), ",")
                        .alias("days_key"),
-                       F.array_join(F.coalesce(
-                           F.col("annotations"),
-                           F.array().cast("array<string>")), ",")
-                       .alias("annots_key"),
+                       annots_key_col().alias("annots_key"),
                        "value",
                        F.coalesce("is_connection", F.lit(False))
                        .alias("is_connection")))

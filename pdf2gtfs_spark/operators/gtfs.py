@@ -29,16 +29,31 @@ from pdf2gtfs_spark.kernel.timefmt import time_format_to_regex
 from pdf2gtfs_spark.operators import register
 
 
-def _time_parse_cols(col, fmt: str):
-    """X1: strftime-format -> day-seconds via regexp (never Timestamp)."""
+def _time_parse_cols(col, fmt: str, bounded: bool = False):
+    """X1: strftime-format -> day-seconds via regexp (never Timestamp).
+
+    ``bounded=True`` additionally enforces strptime's field ranges
+    (H 0-23, M 0-59 — kernel/timefmt._FIELD_SPECS), mirroring
+    Time.from_string / routes.names_from_entry, which reject '5.62'
+    (gtfs sweep family v4; the shape-only regex accepted it)."""
+    from pdf2gtfs_spark.kernel.timefmt import _FIELD_SPECS
+
     pattern, order = time_format_to_regex(fmt)
     jregex = pattern.pattern
     mult = {"H": 3600, "M": 60, "S": 1}
+    matched = F.regexp_extract(col, jregex, 0) != ""
     expr = F.lit(0)
+    is_time = matched
     for i, spec in enumerate(order, start=1):
-        expr = expr + (F.regexp_extract(col, jregex, i).cast("int")
-                       * mult[spec])
-    is_time = F.regexp_extract(col, jregex, 0) != ""
+        # ANSI mode: cast('') throws, so the cast must stay behind the
+        # match guard (the non-bounded expr only ever runs under a
+        # when(is_time, ...) at the call sites)
+        raw = F.regexp_extract(col, jregex, i)
+        expr = expr + raw.cast("int") * mult[spec]
+        if bounded:
+            v = F.when(matched, raw.cast("int"))
+            lo, hi = _FIELD_SPECS[spec][1], _FIELD_SPECS[spec][2]
+            is_time = is_time & (v >= lo) & (v <= hi)
     return is_time, expr
 
 
@@ -139,8 +154,11 @@ def build_stop_times(entries: DataFrame, stops: DataFrame,
     # in tests may lack the flag, so filter only when present
     if "is_connection" in timed.columns:
         timed = timed.where(~F.coalesce("is_connection", F.lit(False)))
+    # Time.from_string strips spaces, then strptime enforces field
+    # ranges (stop_times.py:32-41): '5.62' is NOT a time (-> 0s)
     is_time, secs = _time_parse_cols(
-        F.regexp_replace("value", " ", ""), cfg.time_format)
+        F.regexp_replace("value", " ", ""), cfg.time_format,
+        bounded=True)
     timed = (timed.withColumn("day_seconds",
                               F.when(is_time, secs).otherwise(0))
              .withColumn("normalized_name",
@@ -491,16 +509,29 @@ def apply_service_day_offsets(stop_times: DataFrame,
                         gtfs_time_str(F.col("dep_seconds"))))
 
 
+def annots_key_col(col: str = "annotations"):
+    """Collision-proof annotations key. The reference dedups calendar
+    entries on the annotation SET (calendar.py:109-123); annotation
+    tokens are whitespace-split words and may contain ',' (gtfs sweep
+    seed 98215: token '86,.3005'), so a plain ',' join conflated
+    {'a,b'} with {'a','b'}. Escape '\\' then ',' per token before the
+    join — set equality <=> key equality. Comma-free sets (all
+    declared fixtures) keep their exact previous key, so no declared
+    service_id changes."""
+    esc = F.transform(
+        F.coalesce(F.col(col), F.array().cast("array<string>")),
+        lambda x: F.replace(F.replace(x, F.lit("\\"), F.lit("\\\\")),
+                            F.lit(","), F.lit("\\,")))
+    return F.array_join(esc, ",")
+
+
 def build_calendar(entries: DataFrame) -> DataFrame:
     """A4 calendar dedup on (days, annotations) (calendar.py:109-123)."""
     svc = (entries.where("kind = 'time'")
            .select(F.array_join(F.coalesce(
                        F.col("days"), F.array().cast("array<string>")), ",")
                    .alias("days_key"),
-                   F.array_join(F.coalesce(
-                       F.col("annotations"),
-                       F.array().cast("array<string>")), ",")
-                   .alias("annots_key"),
+                   annots_key_col().alias("annots_key"),
                    "days")
            .distinct())
     day_flags = [

@@ -37,6 +37,34 @@ def _mk(entry_id, stop_pos, name, value, kind="time", intervals=None):
 
 
 class TestStopTimes:
+    def test_time_field_ranges_enforced(self, spark):
+        # Time.from_string strips spaces THEN strptime enforces H 0-23
+        # / M 0-59 (stop_times.py:32-41): '5.62' and '26.10' are not
+        # times (-> 0s), while '5. 35' IS one after the strip (gtfs
+        # sweep family v4; the shape-only regex accepted all three)
+        rows = [_mk(0, 0, "Stop Alpha Long", "5.62"),
+                _mk(0, 1, "Stop Beta Long", "26.10"),
+                _mk(0, 2, "Stop Gamma Long", "5. 35")]
+        e = _entries_df(spark, rows)
+        st = {r["stop_sequence"]: r["arrival_time"]
+              for r in build_stop_times(e, build_stops(e)).collect()}
+        assert st[0] == "00:00:00"
+        assert st[1] == "00:00:00"
+        assert st[2] == "05:35:00"
+
+    def test_route_anchor_uses_raw_strptime(self, spark):
+        # names_from_entry runs strptime on the RAW value
+        # (routes.py:149-152): a spaced '5. 35' anchors stop_times but
+        # NOT the route's first/last pair
+        from pdf2gtfs_spark.operators.feed import build_routes
+        rows = [_mk(0, 0, "Stop Alpha Long", "8.00"),
+                _mk(0, 1, "Stop Beta Long", "8.10"),
+                _mk(0, 2, "Stop Gamma Long", "8. 20")]
+        e = _entries_df(spark, rows)
+        routes = build_routes(e).collect()
+        assert [r["route_long_name"] for r in routes] == [
+            "Stop Alpha Long-Stop Beta Long"]
+
     def test_midnight_rollover(self, spark):
         # vag pattern: 23.47 ... 0.17 wraps to 24:17 (stop_times.py:199-213)
         rows = [_mk(0, 0, "Stop Alpha Long", "23.47"),

@@ -38,6 +38,27 @@ WEEK = ("monday", "tuesday", "wednesday", "thursday", "friday",
         "saturday", "sunday")
 
 
+def _split_annots_key(key: str) -> list[str]:
+    """Inverse of annots_key_col: ',' joins tokens, '\\' escapes a
+    literal ',' or '\\' inside a token (gtfs.py)."""
+    out, cur, i = [], [], 0
+    while i < len(key):
+        c = key[i]
+        if c == "\\" and i + 1 < len(key):
+            cur.append(key[i + 1])
+            i += 2
+            continue
+        if c == ",":
+            out.append("".join(cur))
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return out
+
+
 def _unq(s) -> str:
     return str(s).strip("'\"")
 
@@ -122,7 +143,8 @@ def repo_feed(payload, spark):
     service_key = {
         r.service_id: (tuple(int(getattr(r, d)) for d in WEEK),
                        FEED_DATE_BOUNDS[0], FEED_DATE_BOUNDS[1],
-                       tuple(sorted(a for a in r.annots_key.split(",")
+                       tuple(sorted(a for a in
+                                    _split_annots_key(r.annots_key)
                                     if a)))
         for r in cal.itertuples()}
     st_by_trip = {}
